@@ -1,0 +1,76 @@
+"""Factor graph container + fused linearize-all.
+
+The reference's optimizers dispatch `linearize()` per factor object and gather
+gtsam::HessianFactors into a GaussianFactorGraph (reference:
+src/gtsam_points/factors/integrated_matching_cost_factor.cpp:37-55,
+optimizers/linearization_hook.hpp). Here the whole graph linearizes inside ONE
+jitted program: the Python loop below unrolls at trace time into a single
+fused XLA computation — the TPU analogue of NonlinearFactorSetGPU's batched
+device linearization (src/gtsam_points/cuda/nonlinear_factor_set_gpu.cpp:60-190),
+with no per-factor host round-trips.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+class FactorGraph:
+    """An ordered list of factor pytrees over a pose array [P, 4, 4]."""
+
+    def __init__(self, factors: Sequence = (), num_poses: int = 0):
+        self.factors: List = list(factors)
+        self.num_poses = num_poses
+
+    def add(self, factor) -> "FactorGraph":
+        self.factors.append(factor)
+        for k in factor.keys:
+            self.num_poses = max(self.num_poses, k + 1)
+        return self
+
+    def __len__(self):
+        return len(self.factors)
+
+    def linearize_full(self, poses: jax.Array) -> Tuple[jax.Array, jax.Array, jax.Array]:
+        """-> (A [6P, 6P], b [6P], error ()). Dense block assembly."""
+        p = self.num_poses
+        A = jnp.zeros((p, p, 6, 6), dtype=jnp.float32)
+        b = jnp.zeros((p, 6), dtype=jnp.float32)
+        err = jnp.float32(0.0)
+        for f in self.factors:
+            lin = f.linearize(poses)
+            keys = f.keys
+            if len(keys) == 1:
+                (k,) = keys
+                A = A.at[k, k].add(lin.H_tt)
+                b = b.at[k].add(lin.b_t)
+            else:
+                t, s = keys
+                if t >= 0:
+                    A = A.at[t, t].add(lin.H_tt)
+                    A = A.at[t, s].add(lin.H_ts)
+                    A = A.at[s, t].add(lin.H_ts.T)
+                A = A.at[s, s].add(lin.H_ss)
+                if t >= 0:
+                    b = b.at[t].add(lin.b_t)
+                b = b.at[s].add(lin.b_s)
+            err = err + lin.error
+        A_full = A.transpose(0, 2, 1, 3).reshape(6 * p, 6 * p)
+        return A_full, b.reshape(6 * p), err
+
+    def error(self, poses: jax.Array) -> jax.Array:
+        err = jnp.float32(0.0)
+        for f in self.factors:
+            err = err + f.error(poses)
+        return err
+
+
+def retract(poses: jax.Array, delta: jax.Array) -> jax.Array:
+    """Right-retraction of all poses: T_i <- T_i · Exp(delta_i)."""
+    from gtsam_points_tpu.utils import se3
+
+    p = poses.shape[0]
+    return poses @ se3.se3_exp(delta.reshape(p, 6))

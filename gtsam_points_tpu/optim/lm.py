@@ -1,0 +1,156 @@
+"""Levenberg-Marquardt optimizer as one jitted lax.while_loop program.
+
+Re-expresses LevenbergMarquardtOptimizerExt's iterate/tryLambda logic
+(reference: src/gtsam_points/optimizers/levenberg_marquardt_ext.cpp:141-400) in
+compiler-friendly control flow: the outer iteration and the inner lambda trial
+loop are lax.while_loops, the damped solve is a dense Cholesky, and acceptance
+uses the same model-fidelity gate (rho = actual / predicted decrease >
+min_fidelity). One XLA program per graph structure — every LM iteration,
+including correspondence updates of all factors, is a single device launch.
+
+Cost model (matching factors/linearized.py): E(δ) ≈ E0 - 2 bᵀδ + δᵀAδ,
+step δ = (A + λ·damp)⁻¹ b, predicted decrease = 2bᵀδ - δᵀAδ.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from gtsam_points_tpu.optim.graph import FactorGraph, retract
+
+
+@dataclasses.dataclass(frozen=True)
+class LMParams:
+    max_iterations: int = 20
+    max_inner_iterations: int = 10
+    lambda_initial: float = 1e-5
+    lambda_factor: float = 10.0
+    lambda_lower_bound: float = 1e-10
+    lambda_upper_bound: float = 1e5
+    min_fidelity: float = 1e-3
+    relative_error_tol: float = 1e-5
+    absolute_error_tol: float = 1e-5
+    diagonal_damping: bool = True
+
+
+class LMStatus(NamedTuple):
+    """Per-iteration telemetry (reference: LevenbergMarquardtOptimizationStatus,
+    optimizers/levenberg_marquardt_optimization_status.hpp)."""
+
+    error: jax.Array  # [max_iter]
+    lambda_: jax.Array  # [max_iter]
+    inner_iterations: jax.Array  # [max_iter]
+    num_iterations: jax.Array  # ()
+
+
+class LMResult(NamedTuple):
+    poses: jax.Array
+    error: jax.Array
+    status: LMStatus
+
+
+def _solve_damped(A, b, lam, diagonal_damping: bool):
+    dim = A.shape[0]
+    if diagonal_damping:
+        diag = jnp.clip(jnp.diag(A), 1e-10, None)
+        Ad = A + lam * jnp.diag(diag)
+    else:
+        Ad = A + lam * jnp.eye(dim, dtype=A.dtype)
+    L, low = jax.scipy.linalg.cho_factor(Ad, lower=True)
+    delta = jax.scipy.linalg.cho_solve((L, low), b)
+    ok = jnp.all(jnp.isfinite(delta))
+    return jnp.where(ok, delta, 0.0), ok
+
+
+def optimize_lm(graph: FactorGraph, poses: jax.Array, params: Optional[LMParams] = None) -> LMResult:
+    """Run LM to convergence. Jit-compatible; wrap in jax.jit for repeated use."""
+    params = params or LMParams()
+    return _optimize_lm(graph, poses, params)
+
+
+def _optimize_lm(graph: FactorGraph, poses: jax.Array, params: LMParams) -> LMResult:
+    p = params
+    max_it = p.max_iterations
+
+    def outer_cond(state):
+        poses, lam, err, it, done, status = state
+        return (it < max_it) & jnp.logical_not(done)
+
+    def outer_body(state):
+        poses, lam, err0, it, done, status = state
+        A, b, err_lin = graph.linearize_full(poses)
+
+        def inner_cond(s):
+            _, lam, _, _, accepted, tries = s
+            return (
+                jnp.logical_not(accepted)
+                & (tries < p.max_inner_iterations)
+                & (lam <= p.lambda_upper_bound)
+            )
+
+        def inner_body(s):
+            poses_c, lam, err_c, new_err, accepted, tries = s
+            delta, ok = _solve_damped(A, b, lam, p.diagonal_damping)
+            pred_decrease = 2.0 * jnp.dot(b, delta) - delta @ (A @ delta)
+            cand = retract(poses_c, delta)
+            cand_err = graph.error(cand)
+            rho = (err_lin - cand_err) / jnp.maximum(pred_decrease, 1e-10)
+            accept = ok & (pred_decrease > 0) & (rho > p.min_fidelity) & jnp.isfinite(cand_err)
+            new_poses = jax.tree_util.tree_map(lambda a, c: jnp.where(accept, c, a), poses_c, cand)
+            new_lam = jnp.where(
+                accept,
+                jnp.maximum(lam / p.lambda_factor, p.lambda_lower_bound),
+                lam * p.lambda_factor,
+            )
+            return (new_poses, new_lam, err_c, jnp.where(accept, cand_err, new_err), accepted | accept, tries + 1)
+
+        poses_n, lam_n, _, err_n, accepted, tries = jax.lax.while_loop(
+            inner_cond, inner_body, (poses, lam, err_lin, err_lin, False, jnp.int32(0))
+        )
+        err_new = jnp.where(accepted, err_n, err_lin)
+        # convergence: absolute + relative decrease (GTSAM checkConvergence)
+        decrease = err0 - err_new
+        converged = accepted & (
+            (jnp.abs(decrease) < p.absolute_error_tol)
+            | (jnp.abs(decrease) < p.relative_error_tol * jnp.abs(err0))
+        )
+        stuck = jnp.logical_not(accepted)
+        status = LMStatus(
+            error=status.error.at[it].set(err_new),
+            lambda_=status.lambda_.at[it].set(lam_n),
+            inner_iterations=status.inner_iterations.at[it].set(tries),
+            num_iterations=it + 1,
+        )
+        return (poses_n, lam_n, err_new, it + 1, converged | stuck, status)
+
+    status0 = LMStatus(
+        error=jnp.full((max_it,), jnp.inf, jnp.float32),
+        lambda_=jnp.zeros((max_it,), jnp.float32),
+        inner_iterations=jnp.zeros((max_it,), jnp.int32),
+        num_iterations=jnp.int32(0),
+    )
+    init = (poses, jnp.float32(p.lambda_initial), jnp.float32(jnp.inf), jnp.int32(0), False, status0)
+    poses_f, lam_f, err_f, it_f, _, status_f = jax.lax.while_loop(outer_cond, outer_body, init)
+    return LMResult(poses=poses_f, error=err_f, status=status_f)
+
+
+class GNResult(NamedTuple):
+    poses: jax.Array
+    error: jax.Array
+
+
+def optimize_gn(graph: FactorGraph, poses: jax.Array, iterations: int = 10, damping: float = 1e-6) -> GNResult:
+    """Plain Gauss-Newton with fixed iteration count (cheap odometry inner loop)."""
+
+    def body(i, poses):
+        A, b, _ = graph.linearize_full(poses)
+        delta, ok = _solve_damped(A, b, jnp.float32(damping), True)
+        return retract(poses, jnp.where(ok, delta, 0.0))
+
+    poses = jax.lax.fori_loop(0, iterations, body, poses)
+    return GNResult(poses=poses, error=graph.error(poses))

@@ -1,0 +1,89 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gtsam_points_tpu.ops.eigh3 import eigh3, eigvals3
+from gtsam_points_tpu.ops.hash_grid import brute_force_knn, build_hash_grid, knn_search
+from gtsam_points_tpu.types.frame import make_frame
+
+
+def numpy_knn(points, queries, k):
+    d = ((queries[:, None, :] - points[None, :, :]) ** 2).sum(-1)
+    idx = np.argsort(d, axis=1)[:, :k]
+    return idx, np.take_along_axis(d, idx, axis=1)
+
+
+def test_brute_force_knn_oracle():
+    rng = np.random.RandomState(0)
+    pts = rng.randn(300, 3).astype(np.float32)
+    q = rng.randn(50, 3).astype(np.float32)
+    frame = make_frame(pts)
+    qf = make_frame(q)
+    idx, sq, valid = brute_force_knn(frame.points, frame.mask, qf.points, qf.mask, 5)
+    eidx, esq = numpy_knn(pts, q, 5)
+    np.testing.assert_allclose(np.asarray(sq)[:50], esq, atol=1e-4)
+    assert np.asarray(valid)[:50].all()
+
+
+def test_grid_knn_vs_brute_force():
+    """Grid kNN with 27-neighborhood must match exact kNN when k neighbors fall
+    within one voxel radius (the reference holds iVox to the same oracle,
+    src/test/test_kdtree.cpp)."""
+    rng = np.random.RandomState(1)
+    # dense-ish cloud so neighbors are nearby
+    pts = (rng.rand(2000, 3) * 10.0).astype(np.float32)
+    frame = make_frame(pts)
+    grid = build_hash_grid(frame.points, frame.mask, leaf=1.0)
+    k = 4
+    idx, sq, valid = knn_search(grid, frame.points, frame.mask, k, 27, max_points_per_cell=32)
+    bidx, bsq, bvalid = brute_force_knn(frame.points, frame.mask, frame.points, frame.mask, k)
+
+    idx = np.asarray(idx)[:2000]
+    sq = np.asarray(sq)[:2000]
+    bsq = np.asarray(bsq)[:2000]
+    # all true neighbors within 1 voxel (sq dist < leaf^2) must be found exactly
+    within = bsq < 1.0
+    np.testing.assert_allclose(np.where(within, sq, 0.0), np.where(within, bsq, 0.0), atol=1e-4)
+
+
+def test_grid_knn_masked_queries():
+    rng = np.random.RandomState(2)
+    pts = rng.randn(100, 3).astype(np.float32)
+    frame = make_frame(pts, capacity=256)
+    grid = build_hash_grid(frame.points, frame.mask, leaf=1.0)
+    idx, sq, valid = knn_search(grid, frame.points, frame.mask, 3)
+    assert not np.asarray(valid)[100:].any()
+    assert (np.asarray(idx)[100:] == -1).all()
+
+
+def test_grid_knn_max_sq_dist():
+    pts = np.array([[0, 0, 0], [0.1, 0, 0], [5, 5, 5]], dtype=np.float32)
+    frame = make_frame(pts, capacity=256)
+    grid = build_hash_grid(frame.points, frame.mask, leaf=1.0)
+    idx, sq, valid = knn_search(grid, frame.points, frame.mask, 3, max_sq_dist=0.5)
+    # point 0: neighbors within sqdist 0.5 are itself and point 1 only
+    assert np.asarray(valid)[0].sum() == 2
+
+
+def test_eigh3_vs_numpy():
+    rng = np.random.RandomState(3)
+    A = rng.randn(500, 3, 3).astype(np.float32)
+    A = A @ A.transpose(0, 2, 1) + 1e-3 * np.eye(3)
+    w, V = eigh3(jnp.asarray(A))
+    ew = np.linalg.eigvalsh(A)
+    np.testing.assert_allclose(np.asarray(w), ew, rtol=1e-3, atol=1e-4)
+    # eigenvector property: A v = w v
+    for i in range(3):
+        av = np.einsum("nij,nj->ni", A, np.asarray(V[..., i]))
+        wv = np.asarray(w[:, i : i + 1]) * np.asarray(V[..., i])
+        np.testing.assert_allclose(av, wv, atol=5e-3)
+
+
+def test_eigh3_degenerate():
+    A = jnp.broadcast_to(jnp.eye(3), (4, 3, 3))
+    w, V = eigh3(A)
+    np.testing.assert_allclose(w, np.ones((4, 3)), atol=1e-6)
+    # orthonormal basis
+    VtV = jnp.einsum("nij,nik->njk", V, V)
+    np.testing.assert_allclose(VtV, np.broadcast_to(np.eye(3), (4, 3, 3)), atol=1e-5)
