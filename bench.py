@@ -40,9 +40,12 @@ def main():
     target = make_frame(pts0, capacity=cap)
     source = make_frame(pts1, capacity=cap)
 
+    from gtsam_points_tpu.ops.voxelmap import build_voxelmap
+
+    vmap = jax.jit(lambda f: build_voxelmap(f, 0.5))(target)
     graph = FactorGraph(num_poses=2)
     graph.add(PriorFactor(prior=jnp.eye(4), weights=jnp.full((6,), 1e6), key=0))
-    graph.add(make_vgicp_factor(0, 1, target, source, voxel_resolution=0.5, min_voxel_points=3))
+    graph.add(make_vgicp_factor(0, 1, vmap, source, min_voxel_points=3))
 
     poses = jnp.stack([jnp.eye(4), jnp.eye(4)])
 

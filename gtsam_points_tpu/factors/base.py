@@ -43,6 +43,22 @@ class MatchingFactorMixin:
         T_t, T_s = factor_poses(self, poses)
         return linearize_residuals(self.residual_closure(T_t, T_s), T_t, T_s)
 
+    def linearize_with_error_fn(self, poses: jax.Array):
+        """-> (Linearized, frozen_error_fn). The error fn evaluates candidate
+        poses on the SAME correspondences/weights frozen at this linearization
+        point — the majorize-minimize surrogate the LM accept gate uses, so the
+        model and the gated objective are consistent even when the inlier set
+        churns between outer iterations."""
+        T_t, T_s = factor_poses(self, poses)
+        closure = self.residual_closure(T_t, T_s)
+        lin = linearize_residuals(closure, T_t, T_s)
+
+        def err_fn(new_poses):
+            nT_t, nT_s = factor_poses(self, new_poses)
+            return evaluate_error(closure, nT_t, nT_s)
+
+        return lin, err_fn
+
     def error(self, poses: jax.Array) -> jax.Array:
         T_t, T_s = factor_poses(self, poses)
         return evaluate_error(self.residual_closure(T_t, T_s), T_t, T_s)

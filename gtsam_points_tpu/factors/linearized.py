@@ -99,7 +99,12 @@ def evaluate_error(residual_fn, T_target, T_source):
 
 
 def inv3x3(A: jax.Array) -> jax.Array:
-    """Batched closed-form 3x3 inverse (adjugate), f32."""
+    """Batched closed-form 3x3 inverse (adjugate), f32.
+
+    Near-singular inputs (relative to their own scale) return ZERO instead of
+    an exploded adjugate/det ratio — for the mahalanobis-weight use this means
+    a degenerate correspondence contributes nothing rather than dominating the
+    cost with garbage (the failure mode that stalled LM on real data)."""
     a, b, c = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
     d, e, f = A[..., 1, 0], A[..., 1, 1], A[..., 1, 2]
     g, h, i = A[..., 2, 0], A[..., 2, 1], A[..., 2, 2]
@@ -107,7 +112,9 @@ def inv3x3(A: jax.Array) -> jax.Array:
     co_b = -(d * i - f * g)
     co_c = d * h - e * g
     det = a * co_a + b * co_b + c * co_c
-    inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-20, 1.0, det)
+    scale = (jnp.abs(a) + jnp.abs(e) + jnp.abs(i)) / 3.0
+    bad = jnp.abs(det) <= 1e-9 * scale * scale * scale + 1e-30
+    inv_det = jnp.where(bad, 0.0, 1.0 / jnp.where(bad, 1.0, det))
     adj = jnp.stack(
         [
             jnp.stack([co_a, -(b * i - c * h), b * f - c * e], axis=-1),

@@ -54,11 +54,13 @@ def _eigvec(A: jax.Array, lam: jax.Array) -> jax.Array:
     v = jnp.take_along_axis(
         jnp.stack([c01, c02, c12], axis=-2), best[..., None, None], axis=-2
     )[..., 0, :]
-    nv = jnp.sqrt(jnp.maximum(jnp.sum(v * v, axis=-1, keepdims=True), _EPS))
-    # Degenerate (repeated eigenvalue): fall back to an arbitrary unit vector;
-    # callers treat the eigenbasis as any orthonormal frame in that case.
+    nv2 = jnp.sum(v * v, axis=-1, keepdims=True)
+    # Degenerate (repeated eigenvalue / zero matrix): fall back to an arbitrary
+    # unit vector; callers treat the eigenbasis as any orthonormal frame then.
+    # Test on nv2 BEFORE the sqrt so the zero-matrix case robustly triggers.
+    small = nv2[..., 0] < 1e-12
+    nv = jnp.sqrt(jnp.where(small[..., None], 1.0, nv2))
     fallback = jnp.broadcast_to(jnp.array([1.0, 0.0, 0.0], dtype=A.dtype), v.shape)
-    small = nv[..., 0] < 1e-10
     return jnp.where(small[..., None], fallback, v / nv)
 
 

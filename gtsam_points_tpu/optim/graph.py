@@ -36,13 +36,39 @@ class FactorGraph:
 
     def linearize_full(self, poses: jax.Array) -> Tuple[jax.Array, jax.Array, jax.Array]:
         """-> (A [6P, 6P], b [6P], error ()). Dense block assembly."""
+        A, b, err, _ = self.linearize_frozen(poses)
+        return A, b, err
+
+    def linearize_frozen(self, poses: jax.Array):
+        """-> (A, b, error, frozen_error_fn). frozen_error_fn(poses') evaluates
+        the graph error with every matching factor's correspondences/weights
+        frozen at THIS linearization point (majorize-minimize surrogate);
+        smooth factors evaluate exactly."""
         p = self.num_poses
         A = jnp.zeros((p, p, 6, 6), dtype=jnp.float32)
         b = jnp.zeros((p, 6), dtype=jnp.float32)
         err = jnp.float32(0.0)
+        err_fns = []
         for f in self.factors:
-            lin = f.linearize(poses)
             keys = f.keys
+            if hasattr(f, "multi_linearize"):
+                Hm, bm, errm = f.multi_linearize(poses)
+                err_fns.append(f.error)
+                k = len(keys)
+                Hm = Hm.reshape(k, 6, k, 6)
+                bm = bm.reshape(k, 6)
+                for i, ki in enumerate(keys):
+                    b = b.at[ki].add(bm[i])
+                    for j, kj in enumerate(keys):
+                        A = A.at[ki, kj].add(Hm[i, :, j, :])
+                err = err + errm
+                continue
+            if hasattr(f, "linearize_with_error_fn"):
+                lin, efn = f.linearize_with_error_fn(poses)
+                err_fns.append(efn)
+            else:
+                lin = f.linearize(poses)
+                err_fns.append(f.error)
             if len(keys) == 1:
                 (k,) = keys
                 A = A.at[k, k].add(lin.H_tt)
@@ -59,7 +85,14 @@ class FactorGraph:
                 b = b.at[s].add(lin.b_s)
             err = err + lin.error
         A_full = A.transpose(0, 2, 1, 3).reshape(6 * p, 6 * p)
-        return A_full, b.reshape(6 * p), err
+
+        def frozen_error(new_poses):
+            total = jnp.float32(0.0)
+            for efn in err_fns:
+                total = total + efn(new_poses)
+            return total
+
+        return A_full, b.reshape(6 * p), err, frozen_error
 
     def error(self, poses: jax.Array) -> jax.Array:
         err = jnp.float32(0.0)

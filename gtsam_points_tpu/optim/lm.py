@@ -35,6 +35,7 @@ class LMParams:
     min_fidelity: float = 1e-3
     relative_error_tol: float = 1e-5
     absolute_error_tol: float = 1e-5
+    step_tol: float = 1e-4  # accepted-step norm below which we're converged
     diagonal_damping: bool = True
 
 
@@ -83,10 +84,16 @@ def _optimize_lm(graph: FactorGraph, poses: jax.Array, params: LMParams) -> LMRe
 
     def outer_body(state):
         poses, lam, err0, it, done, status = state
-        A, b, err_lin = graph.linearize_full(poses)
+        # err_lin = error with FRESH correspondences at the linearization point;
+        # frozen_error evaluates candidates on that same correspondence set so
+        # the accept gate compares model and objective consistently even when
+        # the inlier set churns between outer iterations (classic ICP
+        # majorize-minimize; the reference gates on the churning error and
+        # relies on small perturbations instead).
+        A, b, err_lin, frozen_error = graph.linearize_frozen(poses)
 
         def inner_cond(s):
-            _, lam, _, _, accepted, tries = s
+            _, lam, _, _, accepted, tries, _ = s
             return (
                 jnp.logical_not(accepted)
                 & (tries < p.max_inner_iterations)
@@ -94,11 +101,11 @@ def _optimize_lm(graph: FactorGraph, poses: jax.Array, params: LMParams) -> LMRe
             )
 
         def inner_body(s):
-            poses_c, lam, err_c, new_err, accepted, tries = s
+            poses_c, lam, err_c, new_err, accepted, tries, step_norm = s
             delta, ok = _solve_damped(A, b, lam, p.diagonal_damping)
             pred_decrease = 2.0 * jnp.dot(b, delta) - delta @ (A @ delta)
             cand = retract(poses_c, delta)
-            cand_err = graph.error(cand)
+            cand_err = frozen_error(cand)
             rho = (err_lin - cand_err) / jnp.maximum(pred_decrease, 1e-10)
             accept = ok & (pred_decrease > 0) & (rho > p.min_fidelity) & jnp.isfinite(cand_err)
             new_poses = jax.tree_util.tree_map(lambda a, c: jnp.where(accept, c, a), poses_c, cand)
@@ -107,26 +114,36 @@ def _optimize_lm(graph: FactorGraph, poses: jax.Array, params: LMParams) -> LMRe
                 jnp.maximum(lam / p.lambda_factor, p.lambda_lower_bound),
                 lam * p.lambda_factor,
             )
-            return (new_poses, new_lam, err_c, jnp.where(accept, cand_err, new_err), accepted | accept, tries + 1)
+            return (
+                new_poses,
+                new_lam,
+                err_c,
+                jnp.where(accept, cand_err, new_err),
+                accepted | accept,
+                tries + 1,
+                jnp.where(accept, jnp.linalg.norm(delta), step_norm),
+            )
 
-        poses_n, lam_n, _, err_n, accepted, tries = jax.lax.while_loop(
-            inner_cond, inner_body, (poses, lam, err_lin, err_lin, False, jnp.int32(0))
+        poses_n, lam_n, _, err_n, accepted, tries, step_norm = jax.lax.while_loop(
+            inner_cond,
+            inner_body,
+            (poses, lam, err_lin, err_lin, False, jnp.int32(0), jnp.float32(0.0)),
         )
         err_new = jnp.where(accepted, err_n, err_lin)
-        # convergence: absolute + relative decrease (GTSAM checkConvergence)
-        decrease = err0 - err_new
-        converged = accepted & (
-            (jnp.abs(decrease) < p.absolute_error_tol)
-            | (jnp.abs(decrease) < p.relative_error_tol * jnp.abs(err0))
+        # convergence: small accepted step, or fresh-error decrease below tols
+        decrease = err0 - err_lin  # fresh errors across outer iterations
+        small_err_change = (jnp.abs(decrease) < p.absolute_error_tol) | (
+            jnp.abs(decrease) < p.relative_error_tol * jnp.abs(err0)
         )
+        converged = accepted & ((step_norm < p.step_tol) | (small_err_change & (it > 0)))
         stuck = jnp.logical_not(accepted)
         status = LMStatus(
-            error=status.error.at[it].set(err_new),
+            error=status.error.at[it].set(err_lin),
             lambda_=status.lambda_.at[it].set(lam_n),
             inner_iterations=status.inner_iterations.at[it].set(tries),
             num_iterations=it + 1,
         )
-        return (poses_n, lam_n, err_new, it + 1, converged | stuck, status)
+        return (poses_n, lam_n, err_lin, it + 1, converged | stuck, status)
 
     status0 = LMStatus(
         error=jnp.full((max_it,), jnp.inf, jnp.float32),

@@ -1,0 +1,6 @@
+from gtsam_points_tpu.pipelines.odometry import (
+    OdometryState,
+    init_odometry,
+    odometry_step,
+    frame_to_frame_step,
+)

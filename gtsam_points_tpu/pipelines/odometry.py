@@ -1,0 +1,128 @@
+"""Scan-to-map and frame-to-frame odometry pipelines.
+
+The reference ships these as examples built from its parts
+(/root/reference/src/example/advanced_scan_matching.cpp — GICP odometry against
+an incremental iVox map; demo_matching_cost_factors.cpp). Here each pipeline is
+ONE jitted step function over an explicit state pytree: predict (constant
+velocity) → register (unary factor + LM) → map update (pure-functional voxel
+map insertion with keyframe gating via lax.cond). The whole SLAM front-end
+loop runs on-device with a single host dispatch per scan.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from gtsam_points_tpu.factors.gicp import GICPFactor
+from gtsam_points_tpu.factors.vgicp import VGICPFactor
+from gtsam_points_tpu.ops.hash_grid import build_hash_grid
+from gtsam_points_tpu.ops.voxelmap import GaussianVoxelMap, empty_voxelmap, insert_frame
+from gtsam_points_tpu.optim.graph import FactorGraph
+from gtsam_points_tpu.optim.lm import LMParams, optimize_lm
+from gtsam_points_tpu.types.frame import Frame, transform_frame
+from gtsam_points_tpu.utils import se3
+
+
+class OdometryState(NamedTuple):
+    vmap: GaussianVoxelMap
+    T_world: jax.Array  # [4, 4] current sensor pose
+    T_delta: jax.Array  # [4, 4] last inter-frame motion (constant-velocity model)
+    num_frames: jax.Array  # ()
+
+
+@dataclasses.dataclass(frozen=True)
+class OdometryParams:
+    voxel_resolution: float = 1.0
+    map_capacity: int = 262144
+    min_voxel_points: float = 5.0
+    max_iterations: int = 10
+    keyframe_trans: float = 0.5  # insert into map when moved this far...
+    keyframe_rot: float = 0.2  # ...or rotated this much since last insert
+    lm: Optional[LMParams] = None
+
+
+def init_odometry(first_frame: Frame, params: OdometryParams) -> OdometryState:
+    vmap = empty_voxelmap(params.voxel_resolution, params.map_capacity)
+    vmap = insert_frame(vmap, first_frame)
+    eye = jnp.eye(4, dtype=jnp.float32)
+    return OdometryState(vmap=vmap, T_world=eye, T_delta=eye, num_frames=jnp.int32(1))
+
+
+@partial(jax.jit, static_argnums=(2,))
+def odometry_step(state: OdometryState, frame: Frame, params: OdometryParams):
+    """VGICP scan-to-map odometry step -> (new_state, T_world, diagnostics)."""
+    lm = params.lm or LMParams(max_iterations=params.max_iterations, max_inner_iterations=5)
+    T_pred = state.T_world @ state.T_delta
+
+    factor = VGICPFactor(
+        voxelmap=state.vmap,
+        source=frame,
+        fixed_target_pose=jnp.eye(4, dtype=jnp.float32),
+        target_key=-1,
+        source_key=0,
+        min_voxel_points=params.min_voxel_points,
+    )
+    graph = FactorGraph([factor], num_poses=1)
+    res = optimize_lm(graph, T_pred[None], lm)
+    T_new = res.poses[0]
+    ok = jnp.all(jnp.isfinite(T_new))
+    T_new = jnp.where(ok, T_new, T_pred)
+
+    T_delta = se3.se3_inverse(state.T_world) @ T_new
+
+    # keyframe gating: insert into map when motion since last insert is large.
+    # The map's own LRU keeps memory bounded regardless.
+    xi = se3.se3_log(T_delta)
+    moved = (jnp.linalg.norm(xi[3:]) > params.keyframe_trans) | (
+        jnp.linalg.norm(xi[:3]) > params.keyframe_rot
+    ) | (state.num_frames <= 1)
+
+    def do_insert(vm):
+        return insert_frame(vm, transform_frame(T_new, frame))
+
+    vmap_new = jax.lax.cond(moved, do_insert, lambda vm: vm, state.vmap)
+
+    new_state = OdometryState(
+        vmap=vmap_new, T_world=T_new, T_delta=T_delta, num_frames=state.num_frames + 1
+    )
+    diag = {"error": res.error, "iterations": res.status.num_iterations, "inserted": moved}
+    return new_state, T_new, diag
+
+
+class FrameToFrameState(NamedTuple):
+    prev: Frame
+    prev_grid_points: jax.Array  # kept inside the factor's grid; stored via factor rebuild
+    T_world: jax.Array
+    T_delta: jax.Array
+
+
+@partial(jax.jit, static_argnums=(4,))
+def frame_to_frame_step(prev_frame: Frame, prev_grid, T_world, T_delta, max_iterations: int, frame: Frame):
+    """GICP frame-to-frame odometry step (reference demo config 2):
+    registers `frame` against `prev_frame` (with its prebuilt grid), returns
+    (T_world_new, T_delta_new). Both frames must carry covariances."""
+    T_pred_delta = T_delta  # constant velocity in the previous frame's coords
+
+    factor = GICPFactor(
+        target=prev_frame,
+        source=frame,
+        grid=prev_grid,
+        fixed_target_pose=jnp.eye(4, dtype=jnp.float32),
+        target_key=-1,
+        source_key=0,
+        max_corr_dist=2.0,
+        num_neighbor_cells=27,
+        max_points_per_cell=16,
+    )
+    graph = FactorGraph([factor], num_poses=1)
+    res = optimize_lm(graph, T_pred_delta[None], LMParams(max_iterations=max_iterations, max_inner_iterations=5))
+    delta = res.poses[0]
+    ok = jnp.all(jnp.isfinite(delta))
+    delta = jnp.where(ok, delta, T_pred_delta)
+    T_new = T_world @ delta
+    return T_new, delta, res.error

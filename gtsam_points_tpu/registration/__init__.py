@@ -1,0 +1,4 @@
+from gtsam_points_tpu.registration.alignment import align_points_se3, align_points_4dof
+from gtsam_points_tpu.registration.fpfh import estimate_fpfh, FPFH_DIM
+from gtsam_points_tpu.registration.ransac import estimate_pose_ransac, RANSACParams
+from gtsam_points_tpu.registration.gnc import estimate_pose_gnc, GNCParams

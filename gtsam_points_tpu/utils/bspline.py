@@ -1,0 +1,155 @@
+"""Cubic B-spline pose interpolation + continuous trajectory.
+
+Reference: util/bspline.hpp:22-151 (bspline, bspline_se3/so3/trans, velocity /
+acceleration / imu expressions) and util/continuous_trajectory.hpp:21-95
+(knot trajectory, fit_knots). The reference builds these as GTSAM expression
+trees with hand derivatives; here they are plain differentiable functions —
+AD supplies every derivative, including the angular-velocity / acceleration /
+IMU outputs, and fit_knots is a batched LM problem over the knot poses.
+
+Cumulative cubic B-spline (Sommer et al.): for t in [t_i, t_{i+1}) with
+normalized u, using knots T_{i-1}..T_{i+2}:
+  T(u) = T_{i-1} · prod_{j=1..3} Exp(B_j(u) · Log(T_{i+j-2}⁻¹ T_{i+j-1}))
+  B(u) = C·[1, u, u², u³], C the cumulative cubic basis matrix.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from gtsam_points_tpu.utils import se3
+
+# cumulative basis matrix (rows: B_1..B_3 coefficients of [1, u, u^2, u^3])
+_C = jnp.asarray(
+    [
+        [5.0 / 6.0, 3.0 / 6.0, -3.0 / 6.0, 1.0 / 6.0],
+        [1.0 / 6.0, 3.0 / 6.0, 3.0 / 6.0, -2.0 / 6.0],
+        [0.0, 0.0, 0.0, 1.0 / 6.0],
+    ],
+    dtype=jnp.float32,
+)
+
+
+def bspline_pose(knots: jax.Array, u: jax.Array, i: jax.Array) -> jax.Array:
+    """Interpolate at normalized u in [0,1) within knot interval i.
+
+    knots: [K, 4, 4]; uses knots[i-1 .. i+2] (callers guarantee 1 <= i <= K-3).
+    Returns [..., 4, 4] for broadcast u/i of matching shape.
+    """
+    uv = jnp.stack([jnp.ones_like(u), u, u * u, u * u * u], axis=-1)  # [..., 4]
+    B = uv @ _C.T  # [..., 3]
+    T0 = knots[i - 1]
+    d1 = se3.se3_log(se3.se3_inverse(knots[i - 1]) @ knots[i])
+    d2 = se3.se3_log(se3.se3_inverse(knots[i]) @ knots[i + 1])
+    d3 = se3.se3_log(se3.se3_inverse(knots[i + 1]) @ knots[i + 2])
+    A1 = se3.se3_exp(B[..., 0, None] * d1)
+    A2 = se3.se3_exp(B[..., 1, None] * d2)
+    A3 = se3.se3_exp(B[..., 2, None] * d3)
+    return T0 @ A1 @ A2 @ A3
+
+
+class ContinuousTrajectory:
+    """Uniform-knot B-spline trajectory over [t0, t1] (reference:
+    util/continuous_trajectory.hpp:21-95)."""
+
+    def __init__(self, knots: jax.Array, t0: float, knot_interval: float):
+        self.knots = knots  # [K, 4, 4]
+        self.t0 = float(t0)
+        self.dt = float(knot_interval)
+
+    @staticmethod
+    def num_knots(t0: float, t1: float, knot_interval: float) -> int:
+        return int(jnp.ceil((t1 - t0) / knot_interval)) + 3
+
+    def knot_stamp(self, i) -> jax.Array:
+        return self.t0 + (jnp.asarray(i, jnp.float32) - 1.0) * self.dt
+
+    def _locate(self, t: jax.Array):
+        s = (jnp.asarray(t, jnp.float32) - self.t0) / self.dt
+        i = jnp.clip(jnp.floor(s).astype(jnp.int32) + 1, 1, self.knots.shape[0] - 3)
+        u = s - (i - 1)
+        return u, i
+
+    def pose(self, t: jax.Array) -> jax.Array:
+        u, i = self._locate(t)
+        return bspline_pose(self.knots, u, i)
+
+    def velocity(self, t: jax.Array):
+        """(angular [3], linear [3]) world-frame velocities by AD through time."""
+
+        def p(tt):
+            return self.pose(tt)
+
+        T, dT = jax.jvp(p, (jnp.asarray(t, jnp.float32),), (jnp.ones(()),))
+        R = T[..., :3, :3]
+        w_hat = dT[..., :3, :3] @ jnp.swapaxes(R, -1, -2)
+        omega = jnp.stack([w_hat[..., 2, 1], w_hat[..., 0, 2], w_hat[..., 1, 0]], axis=-1)
+        return omega, dT[..., :3, 3]
+
+    def imu(self, t: jax.Array, gravity=(0.0, 0.0, -9.80665)):
+        """Local-frame (acc, gyro) prediction (reference: bspline_imu,
+        util/bspline.hpp)."""
+
+        def vel(tt):
+            def p(ttt):
+                return self.pose(ttt)
+
+            _, dT = jax.jvp(p, (tt,), (jnp.ones(()),))
+            return dT[..., :3, 3]
+
+        t = jnp.asarray(t, jnp.float32)
+        a_world = jax.jvp(vel, (t,), (jnp.ones(()),))[1]
+        T = self.pose(t)
+        R = T[..., :3, :3]
+        g = jnp.asarray(gravity, dtype=jnp.float32)
+        acc_local = jnp.einsum("...ji,...j->...i", R, a_world - g)
+        omega_w, _ = self.velocity(t)
+        gyro_local = jnp.einsum("...ji,...j->...i", R, omega_w)
+        return acc_local, gyro_local
+
+
+def fit_knots(
+    stamps: jax.Array,
+    poses: jax.Array,
+    t0: float,
+    t1: float,
+    knot_interval: float,
+    iterations: int = 20,
+    smoothness_weight: float = 1e-2,
+) -> ContinuousTrajectory:
+    """Batch-fit knot poses to timestamped pose samples with a smoothness prior
+    (reference: ContinuousTrajectory::fit_knots, src/.../continuous_trajectory.cpp).
+    Gauss-Newton over all knots jointly (one jitted loop)."""
+    K = ContinuousTrajectory.num_knots(t0, t1, knot_interval)
+    # init: nearest sample pose per knot
+    init_idx = jnp.clip(
+        jnp.searchsorted(stamps, t0 + (jnp.arange(K) - 1) * knot_interval), 0, len(stamps) - 1
+    )
+    knots0 = poses[init_idx]
+
+    def residuals(knots):
+        traj = ContinuousTrajectory(knots, t0, knot_interval)
+        pred = traj.pose(stamps)
+        r_fit = se3.se3_log(se3.se3_inverse(pred) @ poses).reshape(-1)
+        d = se3.se3_log(se3.se3_inverse(knots[:-1]) @ knots[1:])
+        r_smooth = (d[1:] - d[:-1]).reshape(-1) * smoothness_weight
+        return jnp.concatenate([r_fit, r_smooth])
+
+    @jax.jit
+    def solve(knots0):
+        def body(_, knots):
+            def at(xi):
+                return residuals(knots @ se3.se3_exp(xi.reshape(K, 6)))
+
+            zero = jnp.zeros((K * 6,), jnp.float32)
+            r0 = at(zero)
+            J = jax.jacfwd(at)(zero)
+            H = J.T @ J + 1e-6 * jnp.eye(K * 6, dtype=jnp.float32)
+            delta = jax.scipy.linalg.cho_solve(jax.scipy.linalg.cho_factor(H, lower=True), -(J.T @ r0))
+            delta = jnp.where(jnp.all(jnp.isfinite(delta)), delta, 0.0)
+            return knots @ se3.se3_exp(delta.reshape(K, 6))
+
+        return jax.lax.fori_loop(0, iterations, body, knots0)
+
+    return ContinuousTrajectory(solve(knots0), t0, knot_interval)

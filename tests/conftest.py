@@ -1,26 +1,32 @@
 """Test harness: run on CPU with 8 virtual devices so sharding/collective
 paths are exercised without TPU hardware (mirrors how the reference holds GPU
 factors to CPU accuracy bounds rather than requiring GPU runners — reference:
-src/test/test_matching_cost_factors.cpp:80-101)."""
+src/test/test_matching_cost_factors.cpp:80-101).
+
+CRITICAL environment note: the dev container's sitecustomize registers a
+tunneled TPU backend ("axon") and hard-sets jax_platforms="axon,cpu" at
+interpreter start — env vars like JAX_PLATFORMS are ignored, and the tunnel
+admits ONE client process at a time (a second jax process blocks until the
+first exits). Tests must therefore switch to CPU via jax.config.update AFTER
+importing jax; this also makes compiles local and fast."""
 
 import os
 
-# Force CPU regardless of ambient JAX_PLATFORMS (the dev environment pins
-# JAX_PLATFORMS to a tunneled TPU; tests must run locally on virtual devices).
-os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax
-import numpy as np
-import pytest
 
-# This container has 2 slow cores; XLA compiles dominate test time. Cache them.
+jax.config.update("jax_platforms", "cpu")
+
+# Cache compiles across runs (first-run suites are compile-dominated).
 jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_test")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
+import numpy as np
+import pytest
 
 DATA = os.environ.get("GTSAM_POINTS_DATA", "/root/reference/data")
 

@@ -1,0 +1,130 @@
+"""Voxel map structural tests (reference pattern: src/test/test_voxelmap.cpp —
+contents vs numpy oracle, incremental insertion, LRU behavior, save/load
+round-trip, overlap)."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gtsam_points_tpu.ops import voxel_keys as vk
+from gtsam_points_tpu.ops.voxelmap import (
+    build_voxelmap,
+    empty_voxelmap,
+    insert_frame,
+    load_voxelmap,
+    lookup_voxels,
+    save_voxelmap,
+    voxelmap_overlap,
+)
+from gtsam_points_tpu.types.frame import make_frame
+from gtsam_points_tpu.utils import se3
+
+
+def numpy_voxel_stats(pts, leaf):
+    coords = np.floor(pts / leaf).astype(np.int64)
+    cells = {}
+    for p, c in zip(pts, map(tuple, coords)):
+        cells.setdefault(c, []).append(p)
+    return {
+        c: (len(v), np.mean(v, axis=0), np.cov(np.asarray(v).T, bias=True) if len(v) > 1 else np.zeros((3, 3)))
+        for c, v in cells.items()
+    }
+
+
+def test_build_matches_numpy():
+    rng = np.random.RandomState(0)
+    pts = (rng.rand(500, 3) * 8).astype(np.float32)
+    frame = make_frame(pts)
+    vmap = build_voxelmap(frame, leaf=1.0)
+    oracle = numpy_voxel_stats(pts, 1.0)
+    keys = np.asarray(vmap.keys)
+    valid = keys != int(vk.INVALID_KEY)
+    assert valid.sum() == len(oracle)
+    coords = np.asarray(vk.unpack_key(vmap.keys))
+    for i in np.nonzero(valid)[0]:
+        c = tuple(coords[i].astype(np.int64))
+        cnt, mean, cov = oracle[c]
+        assert int(np.asarray(vmap.count)[i]) == cnt
+        np.testing.assert_allclose(np.asarray(vmap.mean)[i], mean, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(vmap.cov)[i], cov, atol=1e-3)
+
+
+def test_incremental_insert_equals_batch():
+    rng = np.random.RandomState(1)
+    pts = (rng.rand(600, 3) * 6).astype(np.float32)
+    f_all = make_frame(pts)
+    f1 = make_frame(pts[:300])
+    f2 = make_frame(pts[300:])
+    vm_batch = build_voxelmap(f_all, leaf=1.0, capacity=1024)
+    vm_inc = empty_voxelmap(1.0, 1024)
+    vm_inc = insert_frame(vm_inc, f1)
+    vm_inc = insert_frame(vm_inc, f2)
+    kb = np.asarray(vm_batch.keys)
+    ki = np.asarray(vm_inc.keys)
+    vb = kb != int(vk.INVALID_KEY)
+    vi = ki != int(vk.INVALID_KEY)
+    assert vb.sum() == vi.sum()
+    np.testing.assert_array_equal(np.sort(kb[vb]), np.sort(ki[vi]))
+    # stats match after merge
+    order_b = np.argsort(kb[vb])
+    order_i = np.argsort(ki[vi])
+    np.testing.assert_allclose(
+        np.asarray(vm_batch.mean)[vb][order_b], np.asarray(vm_inc.mean)[vi][order_i], atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(vm_batch.cov)[vb][order_b], np.asarray(vm_inc.cov)[vi][order_i], atol=1e-3
+    )
+
+
+def test_lru_eviction():
+    """Over-capacity insertion keeps the most recent voxels (reference:
+    iVox lru_horizon eviction, ann/impl/incremental_voxelmap_impl.hpp:49-62)."""
+    cap = 64
+    vm = empty_voxelmap(1.0, cap)
+    rng = np.random.RandomState(2)
+    # epoch 1: 60 voxels around origin
+    pts1 = (rng.rand(256, 3) * 4).astype(np.float32)
+    vm = insert_frame(vm, make_frame(pts1, capacity=256))
+    # epoch 2: 60 distinct voxels far away -> must evict old ones
+    pts2 = (rng.rand(256, 3) * 4 + 50).astype(np.float32)
+    vm = insert_frame(vm, make_frame(pts2, capacity=256))
+    keys = np.asarray(vm.keys)
+    valid = keys != int(vk.INVALID_KEY)
+    assert valid.sum() <= cap
+    coords = np.asarray(vk.unpack_key(vm.keys))[valid]
+    # all surviving voxels from the most recent epoch are retained preferentially
+    seen = np.asarray(vm.last_seen)[valid]
+    n_new = (seen == 2).sum()
+    assert n_new == min((np.floor(pts2).astype(np.int64) // 1).shape[0], cap) or n_new > 0
+    # the newest epoch dominates the table
+    assert n_new >= valid.sum() - n_new
+
+
+def test_lookup_and_overlap():
+    rng = np.random.RandomState(3)
+    pts = (rng.rand(400, 3) * 8).astype(np.float32)
+    frame = make_frame(pts)
+    vmap = build_voxelmap(frame, leaf=1.0)
+    idx, found = lookup_voxels(vmap, frame.points, frame.mask)
+    assert bool(jnp.all(found[: 400]))
+    # overlap of the same frame at identity = 1.0
+    ov = voxelmap_overlap(vmap, frame, jnp.eye(4))
+    assert float(ov) == pytest.approx(1.0, abs=1e-6)
+    # far translation -> 0 overlap
+    T_far = se3.make_transform(jnp.eye(3), jnp.array([100.0, 0.0, 0.0]))
+    ov_far = voxelmap_overlap(vmap, frame, T_far)
+    assert float(ov_far) == pytest.approx(0.0, abs=1e-6)
+
+
+def test_save_load_roundtrip(tmp_path):
+    rng = np.random.RandomState(4)
+    pts = (rng.rand(300, 3) * 5).astype(np.float32)
+    vmap = build_voxelmap(make_frame(pts), leaf=0.5)
+    path = os.path.join(tmp_path, "vm.npz")
+    save_voxelmap(path, vmap)
+    vm2 = load_voxelmap(path)
+    for a, b in zip(vmap, vm2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
