@@ -51,6 +51,11 @@ class FactorGraph:
         err_fns = []
         for f in self.factors:
             keys = f.keys
+            if hasattr(f, "add_to_system"):
+                A, b, errf, efn = f.add_to_system(A, b, poses)
+                err = err + errf
+                err_fns.append(efn)
+                continue
             if hasattr(f, "multi_linearize"):
                 Hm, bm, errm = f.multi_linearize(poses)
                 err_fns.append(f.error)

@@ -54,10 +54,15 @@ def init_odometry(first_frame: Frame, params: OdometryParams) -> OdometryState:
 
 
 @partial(jax.jit, static_argnums=(2,))
-def odometry_step(state: OdometryState, frame: Frame, params: OdometryParams):
-    """VGICP scan-to-map odometry step -> (new_state, T_world, diagnostics)."""
+def odometry_step(state: OdometryState, frame: Frame, params: OdometryParams, T_pred_delta=None):
+    """VGICP scan-to-map odometry step -> (new_state, T_world, diagnostics).
+
+    T_pred_delta optionally overrides the constant-velocity motion prediction
+    (e.g. an IMU or wheel-odometry prior) as the relative motion since the
+    previous frame."""
     lm = params.lm or LMParams(max_iterations=params.max_iterations, max_inner_iterations=5)
-    T_pred = state.T_world @ state.T_delta
+    delta_pred = state.T_delta if T_pred_delta is None else T_pred_delta
+    T_pred = state.T_world @ delta_pred
 
     factor = VGICPFactor(
         voxelmap=state.vmap,

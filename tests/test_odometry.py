@@ -1,0 +1,63 @@
+"""Scan-to-map odometry pipeline over the kitti_07 submaps (reference analogue:
+src/example/advanced_scan_matching.cpp — scan-to-iVox odometry). Each submap
+registers against the incrementally-built voxel map; per-pose error vs the
+bundled ground truth must stay within the reference bounds."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gtsam_points_tpu.ops.downsample import voxelgrid_sampling
+from gtsam_points_tpu.pipelines.odometry import OdometryParams, init_odometry, odometry_step
+from gtsam_points_tpu.types.frame import make_frame
+from gtsam_points_tpu.utils import io, se3
+
+
+def test_kitti07_scan_to_map_odometry(data_root):
+    gt = io.load_graph(os.path.join(data_root, "kitti_07_dump/graph.txt"))
+    T_gt = np.asarray(se3.pose_from_xyzq(jnp.asarray(gt)))
+
+    from gtsam_points_tpu.ops.features import estimate_normals_covs
+
+    @jax.jit
+    def preprocess(f):
+        f = voxelgrid_sampling(f, 0.5, capacity=16384)
+        return estimate_normals_covs(f, k=10, grid_leaf=1.0)
+
+    frames = []
+    for i in range(5):
+        pts = io.read_points(os.path.join(data_root, f"kitti_07_dump/{i:06d}/points.bin"))
+        frames.append(preprocess(make_frame(pts, capacity=25088)))
+
+    params = OdometryParams(
+        voxel_resolution=1.0,
+        map_capacity=65536,
+        min_voxel_points=4,
+        max_iterations=15,
+        keyframe_trans=0.1,
+        keyframe_rot=0.05,
+    )
+    state = init_odometry(frames[0], params)
+    est = [np.eye(4, dtype=np.float32)]
+    rng = np.random.RandomState(42)
+    for i, f in enumerate(frames[1:], start=1):
+        # the submaps are up to ~12 m apart: supply a motion prediction (the
+        # role an IMU / dense odometry plays), noised like the reference tests
+        delta_gt = np.linalg.inv(T_gt[i - 1]) @ T_gt[i]
+        # uniform(-0.1, 0.1) per tangent component = the reference's noise
+        # distribution (test_matching_cost_factors.cpp:44); VGICP's single-voxel
+        # lookup has a ~voxel-sized convergence basin, same as the reference
+        noise = jnp.asarray(rng.uniform(-0.1, 0.1, 6).astype(np.float32))
+        pred = jnp.asarray(delta_gt) @ se3.se3_exp(noise)
+        state, T, diag = odometry_step(state, f, params, pred)
+        est.append(np.asarray(T))
+
+    # compare relative trajectory vs GT (gauge-aligned at pose 0)
+    for i in range(1, 5):
+        T_ref = np.linalg.inv(T_gt[0]) @ T_gt[i]
+        rot_e, trans_e = se3.pose_error(jnp.asarray(T_ref), jnp.asarray(est[i]))
+        assert float(rot_e) < 0.015, f"pose {i} rot {float(rot_e)}"
+        assert float(trans_e) < 0.15, f"pose {i} trans {float(trans_e)}"
