@@ -20,7 +20,7 @@ import jax.numpy as jnp
 
 from gtsam_points_tpu.factors.base import register_factor
 from gtsam_points_tpu.factors.linearized import inv3x3, reduce_system
-from gtsam_points_tpu.ops.voxelmap import GaussianVoxelMap, lookup_voxels
+from gtsam_points_tpu.ops.voxelmap import GaussianVoxelMap, lookup_fetch, lookup_voxels
 from gtsam_points_tpu.types.frame import Frame
 from gtsam_points_tpu.utils import se3
 
@@ -52,10 +52,8 @@ class VGICPFactorBatch:
     def _linearize_one(self, vmap: GaussianVoxelMap, source: Frame, T_t, T_s):
         delta = se3.se3_inverse(T_t) @ T_s
         moved = se3.transform_points(delta, source.points)
-        vidx, found = lookup_voxels(vmap, moved, source.mask)
-        found = found & (vmap.count[vidx] >= self.min_voxel_points)
-        mu = vmap.mean[vidx]
-        C_t = vmap.cov[vidx]
+        found, vcount, mu, C_t = lookup_fetch(vmap, moved, source.mask)
+        found = found & (vcount >= self.min_voxel_points)
         R = delta[:3, :3]
         if source.covs is not None:
             fused = C_t + jnp.einsum("ij,njk,lk->nil", R, source.covs, R)
@@ -117,10 +115,8 @@ class VGICPFactorBatch:
                 # recompute frozen aux at OLD poses, evaluate at new
                 delta = se3.se3_inverse(T_t0) @ T_s0
                 moved = se3.transform_points(delta, source.points)
-                vidx, found = lookup_voxels(vmap, moved, source.mask)
-                found = found & (vmap.count[vidx] >= mvp)
-                mu = vmap.mean[vidx]
-                C_t = vmap.cov[vidx]
+                found, vcount, mu, C_t = lookup_fetch(vmap, moved, source.mask)
+                found = found & (vcount >= mvp)
                 R = delta[:3, :3]
                 if source.covs is not None:
                     fused = C_t + jnp.einsum("ij,njk,lk->nil", R, source.covs, R)
@@ -142,10 +138,8 @@ def _batch_error(self, poses):
     def one(vmap, source, Tt, Ts):
         delta = se3.se3_inverse(Tt) @ Ts
         moved = se3.transform_points(delta, source.points)
-        vidx, found = lookup_voxels(vmap, moved, source.mask)
-        found = found & (vmap.count[vidx] >= self.min_voxel_points)
-        mu = vmap.mean[vidx]
-        C_t = vmap.cov[vidx]
+        found, vcount, mu, C_t = lookup_fetch(vmap, moved, source.mask)
+        found = found & (vcount >= self.min_voxel_points)
         R = delta[:3, :3]
         if source.covs is not None:
             fused = C_t + jnp.einsum("ij,njk,lk->nil", R, source.covs, R)

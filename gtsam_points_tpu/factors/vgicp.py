@@ -36,12 +36,12 @@ class VGICPFactor(MatchingFactorMixin):
     min_voxel_points: float
 
     def residual_closure(self, T_t: jax.Array, T_s: jax.Array):
+        from gtsam_points_tpu.ops.voxelmap import lookup_fetch
+
         delta = se3.se3_inverse(T_t) @ T_s
         moved = se3.transform_points(delta, self.source.points)
-        vidx, found = lookup_voxels(self.voxelmap, moved, self.source.mask)
-        found = found & (self.voxelmap.count[vidx] >= self.min_voxel_points)
-        mu = self.voxelmap.mean[vidx]
-        C_t = self.voxelmap.cov[vidx]
+        found, count, mu, C_t = lookup_fetch(self.voxelmap, moved, self.source.mask)
+        found = found & (count >= self.min_voxel_points)
         R = delta[:3, :3]
         if self.source.covs is not None:
             fused = C_t + jnp.einsum("ij,njk,lk->nil", R, self.source.covs, R)

@@ -41,6 +41,12 @@ class GaussianVoxelMap(NamedTuple):
     last_seen: [C] int32 insertion-epoch of last touch (for LRU)
     epoch:     () int32 current insertion counter
     num_voxels:() int32
+    hash_index:[2, 2^HASH_BITS] int32 double-hash index: slot -> voxel row
+               (-1 empty). Voxels losing a probe-1 collision land in table 2;
+               double collisions (~1e-5) are dropped, mirroring the reference's
+               tolerated insertion drops (types/gaussian_voxelmap_gpu.hpp:49-54).
+               Lookup = two independent gathers + key verification instead of a
+               log-C binary search.
     """
 
     leaf: jax.Array
@@ -51,6 +57,11 @@ class GaussianVoxelMap(NamedTuple):
     last_seen: jax.Array
     epoch: jax.Array
     num_voxels: jax.Array
+    hash_index: jax.Array
+    packed: jax.Array  # [C, 16] f32: key(bitcast), count, mean(3), cov6(6), pad
+    # XLA row-gather cost is per ROW, nearly independent of row width; packing
+    # the whole per-voxel record into one 64-byte row makes the hot VGICP
+    # fetch ONE gather instead of four (keys+count+mean+cov).
 
     @property
     def capacity(self) -> int:
@@ -64,6 +75,98 @@ class GaussianVoxelMap(NamedTuple):
         return Frame(points=pts, mask=valid, covs=self.cov)
 
 
+HASH_BITS = 20
+HASH_SIZE = 1 << HASH_BITS
+
+
+_MIX = (
+    (jnp.uint32(0x85EBCA6B), jnp.uint32(0xC2B2AE35)),
+    (jnp.uint32(0xCC9E2D51), jnp.uint32(0x1B873593)),
+)
+
+
+def _hash_key(key: jax.Array, which: int = 0) -> jax.Array:
+    """Murmur-style avalanche of the packed voxel key into [0, HASH_SIZE)
+    (same mixing family as the reference's vector3i hash,
+    cuda/kernels/vector3_hash.cuh:14-60)."""
+    m1, m2 = _MIX[which]
+    h = key.astype(jnp.uint32)
+    h = (h ^ (h >> 16)) * m1
+    h = (h ^ (h >> 13)) * m2
+    h = h ^ (h >> 16)
+    return (h & jnp.uint32(HASH_SIZE - 1)).astype(jnp.int32)
+
+
+def _build_hash_index(keys: jax.Array) -> jax.Array:
+    """[C] sorted keys -> [2, HASH_SIZE] double-hash index (-1 empty).
+    Probe-1 collisions resolve into table 2 (lowest row wins each table)."""
+    valid = keys != vk.INVALID_KEY
+    rows = jnp.arange(keys.shape[0], dtype=jnp.int32)
+    sentinel = jnp.int32(0x7FFFFFFF)
+
+    slots1 = jnp.where(valid, _hash_key(keys, 0), HASH_SIZE)
+    t1 = jnp.full((HASH_SIZE + 1,), sentinel).at[slots1].min(rows)[:HASH_SIZE]
+    won1 = valid & (t1[jnp.minimum(slots1, HASH_SIZE - 1)] == rows)
+
+    slots2 = jnp.where(valid & ~won1, _hash_key(keys, 1), HASH_SIZE)
+    t2 = jnp.full((HASH_SIZE + 1,), sentinel).at[slots2].min(rows)[:HASH_SIZE]
+
+    t1 = jnp.where(t1 == sentinel, -1, t1)
+    t2 = jnp.where(t2 == sentinel, -1, t2)
+    return jnp.stack([t1, t2])
+
+
+
+
+def _pack_rows(keys, count, mean, cov):
+    """[C] records -> [C, 16] f32 rows: key(bitcast), count, mean, cov6, pad."""
+    cov6 = jnp.stack(
+        [cov[:, 0, 0], cov[:, 0, 1], cov[:, 0, 2], cov[:, 1, 1], cov[:, 1, 2], cov[:, 2, 2]],
+        axis=-1,
+    )
+    key_f = jax.lax.bitcast_convert_type(keys, jnp.float32)[:, None]
+    pad = jnp.zeros((keys.shape[0], 5), jnp.float32)
+    return jnp.concatenate([key_f, count[:, None], mean, cov6, pad], axis=-1)
+
+
+def unpack_rows(rows):
+    """[N, 16] -> (keys int32, count, mean [N,3], cov [N,3,3])."""
+    keys = jax.lax.bitcast_convert_type(rows[:, 0], jnp.int32)
+    count = rows[:, 1]
+    mean = rows[:, 2:5]
+    c = rows[:, 5:11]
+    cov = jnp.stack(
+        [
+            jnp.stack([c[:, 0], c[:, 1], c[:, 2]], axis=-1),
+            jnp.stack([c[:, 1], c[:, 3], c[:, 4]], axis=-1),
+            jnp.stack([c[:, 2], c[:, 4], c[:, 5]], axis=-1),
+        ],
+        axis=-2,
+    )
+    return keys, count, mean, cov
+
+
+def lookup_fetch(vmap: GaussianVoxelMap, points: jax.Array, mask: jax.Array):
+    """Fused probe + record fetch for the hot VGICP path:
+    -> (found [N], count [N], mean [N,3], cov [N,3,3]).
+    Replaces the reference device probe + per-field loads
+    (cuda/kernels/lookup_voxels.cuh:35-58) with 3 int gathers + 1 row gather."""
+    keys = vk.point_keys(points, mask, vmap.leaf)
+    row1 = vmap.hash_index[0, _hash_key(keys, 0)]
+    row2 = vmap.hash_index[1, _hash_key(keys, 1)]
+    rows1 = vmap.packed[jnp.maximum(row1, 0)]
+    k1 = jax.lax.bitcast_convert_type(rows1[:, 0], jnp.int32)
+    ok1 = (row1 >= 0) & (k1 == keys)
+    # probe 2 only where probe 1 missed (XLA computes both; cheap relative)
+    rows2 = vmap.packed[jnp.maximum(row2, 0)]
+    k2 = jax.lax.bitcast_convert_type(rows2[:, 0], jnp.int32)
+    ok2 = (row2 >= 0) & (k2 == keys)
+    rows = jnp.where(ok1[:, None], rows1, rows2)
+    found = (ok1 | ok2) & (keys != vk.INVALID_KEY) & mask
+    _, count, mean, cov = unpack_rows(rows)
+    return found, count, mean, cov
+
+
 def empty_voxelmap(leaf: float, capacity: int) -> GaussianVoxelMap:
     return GaussianVoxelMap(
         leaf=jnp.float32(leaf),
@@ -74,6 +177,8 @@ def empty_voxelmap(leaf: float, capacity: int) -> GaussianVoxelMap:
         last_seen=jnp.zeros((capacity,), dtype=jnp.int32),
         epoch=jnp.int32(0),
         num_voxels=jnp.int32(0),
+        hash_index=jnp.full((2, HASH_SIZE), -1, dtype=jnp.int32),
+        packed=jnp.zeros((capacity, 16), dtype=jnp.float32),
     )
 
 
@@ -183,6 +288,8 @@ def insert_frame(vmap: GaussianVoxelMap, frame: Frame) -> GaussianVoxelMap:
         last_seen=f_seen,
         epoch=epoch,
         num_voxels=jnp.minimum(num_merged, cap),
+        hash_index=_build_hash_index(f_keys),
+        packed=_pack_rows(f_keys, f_cnt, mean, cov),
     )
 
 
@@ -193,9 +300,13 @@ def lookup_voxels(vmap: GaussianVoxelMap, points: jax.Array, mask: jax.Array):
     include/gtsam_points/cuda/kernels/lookup_voxels.cuh:35-58) with binary
     search over the sorted key table."""
     keys = vk.point_keys(points, mask, vmap.leaf)
-    idx = jnp.searchsorted(vmap.keys, keys, side="left").astype(jnp.int32)
-    idx_c = jnp.minimum(idx, vmap.capacity - 1)
-    found = (vmap.keys[idx_c] == keys) & (keys != vk.INVALID_KEY) & mask
+    row1 = vmap.hash_index[0, _hash_key(keys, 0)]
+    ok1 = (row1 >= 0) & (vmap.keys[jnp.maximum(row1, 0)] == keys)
+    row2 = vmap.hash_index[1, _hash_key(keys, 1)]
+    ok2 = (row2 >= 0) & (vmap.keys[jnp.maximum(row2, 0)] == keys)
+    row = jnp.where(ok1, row1, row2)
+    idx_c = jnp.maximum(row, 0)
+    found = (ok1 | ok2) & (keys != vk.INVALID_KEY) & mask
     return idx_c, found
 
 
