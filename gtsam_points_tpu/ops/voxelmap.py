@@ -1,5 +1,5 @@
 """Gaussian voxel maps: per-voxel (count, mean, covariance) statistics with
-O(1)-style batched lookup, plus incremental insertion with LRU eviction.
+O(1) batched lookup, plus incremental insertion with LRU eviction.
 
 TPU-native redesign of:
 - GaussianVoxelMapCPU / GaussianVoxel running stats + finalize (reference:
@@ -9,12 +9,17 @@ TPU-native redesign of:
 - IncrementalVoxelMap's LRU eviction (reference:
   include/gtsam_points/ann/impl/incremental_voxelmap_impl.hpp:49-62).
 
-Instead of a mutable hash table, the map is an immutable pytree with sorted
-packed voxel keys; insertion merges (old table ∪ new scan stats) with one sort
-and masked segment reductions — a pure function, so the whole odometry loop
-stays inside jit. Lookup is vectorized binary search. Saved/loaded as npz
-(the analogue of save_compact/load, reference:
-include/gtsam_points/types/gaussian_voxelmap_cpu.hpp:98-108).
+Storage design: each voxel's record is its RAW MOMENTS (count, sum p, sum ppT)
+packed into one 64-byte row. Consequences tuned to TPU cost model:
+- lookup (hot VGICP path) = hash probe + ONE row gather; mean/cov finalize
+  on the fly (elementwise — free next to the gather),
+- the steady-state insertion (`insert_frame_fast`) is ONE row scatter-add —
+  no sort, no hash rebuild, no de/re-finalization,
+- the structural merge (`insert_frame`) handles new voxels + LRU eviction
+  with a sort + segment reduction, and runs only when new territory appears.
+Everything is a pure function over an immutable pytree, so whole odometry
+loops stay inside jit. Saved/loaded as npz (analogue of save_compact/load,
+reference: include/gtsam_points/types/gaussian_voxelmap_cpu.hpp:98-108).
 """
 
 from __future__ import annotations
@@ -26,7 +31,21 @@ import jax.numpy as jnp
 import numpy as np
 
 from gtsam_points_tpu.ops import voxel_keys as vk
+from gtsam_points_tpu.ops.hash_index import (
+    HASH_BITS,
+    HASH_SIZE,
+    build_hash_index as _build_hash_index,
+    hash_key as _hash_key,
+    probe as _probe,
+)
 from gtsam_points_tpu.types.frame import Frame
+
+# moments row layout (16 f32 lanes = 64 bytes):
+#   [0]     count
+#   [1:4]   sum p
+#   [4:10]  sum p pT upper triangle (xx, xy, xz, yy, yz, zz) (+ sum covs)
+#   [10:16] pad
+_MOM_LANES = 16
 
 
 class GaussianVoxelMap(NamedTuple):
@@ -34,38 +53,40 @@ class GaussianVoxelMap(NamedTuple):
 
     leaf:      () float32 voxel edge length
     keys:      [C] int32 sorted packed voxel keys (INVALID_KEY padded)
-    count:     [C] float32 number of points accumulated per voxel
-    mean:      [C, 3] float32 voxel mean (finalized)
-    cov:       [C, 3, 3] float32 voxel covariance (finalized; regularized if
-               built from frames with covs, matching VGICP's distribution fusion)
+    moments:   [C, 16] f32 packed raw-moment rows (see layout above)
     last_seen: [C] int32 insertion-epoch of last touch (for LRU)
     epoch:     () int32 current insertion counter
     num_voxels:() int32
     hash_index:[2, 2^HASH_BITS] int32 double-hash index: slot -> voxel row
-               (-1 empty). Voxels losing a probe-1 collision land in table 2;
-               double collisions (~1e-5) are dropped, mirroring the reference's
+               (-1 empty). Probe-1 collision losers land in table 2; double
+               collisions (~1e-5) are dropped, mirroring the reference's
                tolerated insertion drops (types/gaussian_voxelmap_gpu.hpp:49-54).
-               Lookup = two independent gathers + key verification instead of a
-               log-C binary search.
     """
 
     leaf: jax.Array
     keys: jax.Array
-    count: jax.Array
-    mean: jax.Array
-    cov: jax.Array
+    moments: jax.Array
     last_seen: jax.Array
     epoch: jax.Array
     num_voxels: jax.Array
     hash_index: jax.Array
-    packed: jax.Array  # [C, 16] f32: key(bitcast), count, mean(3), cov6(6), pad
-    # XLA row-gather cost is per ROW, nearly independent of row width; packing
-    # the whole per-voxel record into one 64-byte row makes the hot VGICP
-    # fetch ONE gather instead of four (keys+count+mean+cov).
 
     @property
     def capacity(self) -> int:
         return self.keys.shape[0]
+
+    # ---- finalized views (derived; elementwise over [C]) ----
+    @property
+    def count(self) -> jax.Array:
+        return self.moments[:, 0]
+
+    @property
+    def mean(self) -> jax.Array:
+        return finalize_mean(self.moments)
+
+    @property
+    def cov(self) -> jax.Array:
+        return finalize_cov(self.moments)
 
     def as_frame(self) -> Frame:
         """Expose voxel statistics as a Frame (the reference exposes voxelmaps
@@ -75,82 +96,73 @@ class GaussianVoxelMap(NamedTuple):
         return Frame(points=pts, mask=valid, covs=self.cov)
 
 
-from gtsam_points_tpu.ops.hash_index import (
-    HASH_BITS,
-    HASH_SIZE,
-    build_hash_index as _build_hash_index,
-    hash_key as _hash_key,
-    probe as _probe,
-)
+def finalize_mean(moments: jax.Array) -> jax.Array:
+    cnt = jnp.maximum(moments[..., 0], 1.0)
+    return moments[..., 1:4] / cnt[..., None]
 
 
+def finalize_cov(moments: jax.Array) -> jax.Array:
+    cnt = jnp.maximum(moments[..., 0], 1.0)
+    mu = moments[..., 1:4] / cnt[..., None]
+    s = moments[..., 4:10] / cnt[..., None]
+    xx = s[..., 0] - mu[..., 0] * mu[..., 0]
+    xy = s[..., 1] - mu[..., 0] * mu[..., 1]
+    xz = s[..., 2] - mu[..., 0] * mu[..., 2]
+    yy = s[..., 3] - mu[..., 1] * mu[..., 1]
+    yz = s[..., 4] - mu[..., 1] * mu[..., 2]
+    zz = s[..., 5] - mu[..., 2] * mu[..., 2]
+    row0 = jnp.stack([xx, xy, xz], axis=-1)
+    row1 = jnp.stack([xy, yy, yz], axis=-1)
+    row2 = jnp.stack([xz, yz, zz], axis=-1)
+    return jnp.stack([row0, row1, row2], axis=-2)
 
-def _pack_rows(keys, count, mean, cov):
-    """[C] records -> [C, 16] f32 rows: key(bitcast), count, mean, cov6, pad."""
-    cov6 = jnp.stack(
-        [cov[:, 0, 0], cov[:, 0, 1], cov[:, 0, 2], cov[:, 1, 1], cov[:, 1, 2], cov[:, 2, 2]],
+
+def point_moments(points: jax.Array, covs: Optional[jax.Array], w: jax.Array) -> jax.Array:
+    """Per-point moment rows [N, 16] weighted by w (0/1 mask)."""
+    p = points
+    upper = jnp.stack(
+        [
+            p[:, 0] * p[:, 0], p[:, 0] * p[:, 1], p[:, 0] * p[:, 2],
+            p[:, 1] * p[:, 1], p[:, 1] * p[:, 2], p[:, 2] * p[:, 2],
+        ],
         axis=-1,
     )
-    key_f = jax.lax.bitcast_convert_type(keys, jnp.float32)[:, None]
-    pad = jnp.zeros((keys.shape[0], 5), jnp.float32)
-    return jnp.concatenate([key_f, count[:, None], mean, cov6, pad], axis=-1)
-
-
-def unpack_rows(rows):
-    """[N, 16] -> (keys int32, count, mean [N,3], cov [N,3,3])."""
-    keys = jax.lax.bitcast_convert_type(rows[:, 0], jnp.int32)
-    count = rows[:, 1]
-    mean = rows[:, 2:5]
-    c = rows[:, 5:11]
-    cov = jnp.stack(
-        [
-            jnp.stack([c[:, 0], c[:, 1], c[:, 2]], axis=-1),
-            jnp.stack([c[:, 1], c[:, 3], c[:, 4]], axis=-1),
-            jnp.stack([c[:, 2], c[:, 4], c[:, 5]], axis=-1),
-        ],
-        axis=-2,
-    )
-    return keys, count, mean, cov
+    if covs is not None:
+        upper = upper + jnp.stack(
+            [covs[:, 0, 0], covs[:, 0, 1], covs[:, 0, 2], covs[:, 1, 1], covs[:, 1, 2], covs[:, 2, 2]],
+            axis=-1,
+        )
+    pad = jnp.zeros((p.shape[0], _MOM_LANES - 10), jnp.float32)
+    rows = jnp.concatenate([jnp.ones((p.shape[0], 1), jnp.float32), p, upper, pad], axis=-1)
+    return rows * w[:, None]
 
 
 def lookup_fetch(vmap: GaussianVoxelMap, points: jax.Array, mask: jax.Array):
     """Fused probe + record fetch for the hot VGICP path:
     -> (found [N], count [N], mean [N,3], cov [N,3,3]).
     Replaces the reference device probe + per-field loads
-    (cuda/kernels/lookup_voxels.cuh:35-58) with 3 int gathers + 1 row gather."""
+    (cuda/kernels/lookup_voxels.cuh:35-58) with 3 scalar gathers + 1 row gather."""
     keys = vk.point_keys(points, mask, vmap.leaf)
-    row1 = vmap.hash_index[0, _hash_key(keys, 0)]
-    row2 = vmap.hash_index[1, _hash_key(keys, 1)]
-    rows1 = vmap.packed[jnp.maximum(row1, 0)]
-    k1 = jax.lax.bitcast_convert_type(rows1[:, 0], jnp.int32)
-    ok1 = (row1 >= 0) & (k1 == keys)
-    # probe 2 only where probe 1 missed (XLA computes both; cheap relative)
-    rows2 = vmap.packed[jnp.maximum(row2, 0)]
-    k2 = jax.lax.bitcast_convert_type(rows2[:, 0], jnp.int32)
-    ok2 = (row2 >= 0) & (k2 == keys)
-    rows = jnp.where(ok1[:, None], rows1, rows2)
-    found = (ok1 | ok2) & (keys != vk.INVALID_KEY) & mask
-    _, count, mean, cov = unpack_rows(rows)
-    return found, count, mean, cov
+    row, found = _probe(vmap.hash_index, vmap.keys, keys)
+    rows = vmap.moments[row]
+    found = found & mask
+    return found, rows[:, 0], finalize_mean(rows), finalize_cov(rows)
 
 
 def empty_voxelmap(leaf: float, capacity: int) -> GaussianVoxelMap:
     return GaussianVoxelMap(
         leaf=jnp.float32(leaf),
         keys=jnp.full((capacity,), vk.INVALID_KEY, dtype=jnp.int32),
-        count=jnp.zeros((capacity,), dtype=jnp.float32),
-        mean=jnp.zeros((capacity, 3), dtype=jnp.float32),
-        cov=jnp.zeros((capacity, 3, 3), dtype=jnp.float32),
+        moments=jnp.zeros((capacity, _MOM_LANES), dtype=jnp.float32),
         last_seen=jnp.zeros((capacity,), dtype=jnp.int32),
         epoch=jnp.int32(0),
         num_voxels=jnp.int32(0),
         hash_index=jnp.full((2, HASH_SIZE), -1, dtype=jnp.int32),
-        packed=jnp.zeros((capacity, 16), dtype=jnp.float32),
     )
 
 
-def _scan_stats(frame: Frame, leaf, capacity: int):
-    """Per-voxel raw moments of one scan: keys, count, sum_p, sum_ppT (+sum_cov)."""
+def _scan_moments(frame: Frame, leaf, capacity: int):
+    """Per-voxel moment rows of one scan: (keys [cap], moments [cap, 16])."""
     keys = vk.point_keys(frame.points, frame.mask, leaf)
     order = jnp.argsort(keys)
     skeys = keys[order]
@@ -159,18 +171,12 @@ def _scan_stats(frame: Frame, leaf, capacity: int):
     seg = jnp.cumsum(is_new.astype(jnp.int32)) - 1
     slot = jnp.where(valid, jnp.minimum(seg, capacity), capacity)
 
-    pts = frame.points[order]
-    w = valid.astype(jnp.float32)
-    cnt = jnp.zeros((capacity + 1,), jnp.float32).at[slot].add(w)[:capacity]
-    s1 = jnp.zeros((capacity + 1, 3), jnp.float32).at[slot].add(pts * w[:, None])[:capacity]
-    pp = jnp.einsum("ni,nj->nij", pts, pts) * w[:, None, None]
-    if frame.covs is not None:
-        pp = pp + frame.covs[order] * w[:, None, None]
-    s2 = jnp.zeros((capacity + 1, 3, 3), jnp.float32).at[slot].add(pp)[:capacity]
+    rows = point_moments(frame.points, frame.covs, frame.mask.astype(jnp.float32))[order]
+    mom = jnp.zeros((capacity + 1, _MOM_LANES), jnp.float32).at[slot].add(rows)[:capacity]
     out_keys = jnp.full((capacity + 1,), vk.INVALID_KEY, jnp.int32).at[
         jnp.where(is_new, jnp.minimum(seg, capacity), capacity)
     ].set(skeys)[:capacity]
-    return out_keys, cnt, s1, s2
+    return out_keys, mom
 
 
 def build_voxelmap(frame: Frame, leaf: float, capacity: Optional[int] = None) -> GaussianVoxelMap:
@@ -181,91 +187,102 @@ def build_voxelmap(frame: Frame, leaf: float, capacity: Optional[int] = None) ->
 
 
 def insert_frame(vmap: GaussianVoxelMap, frame: Frame) -> GaussianVoxelMap:
-    """Merge a scan into the map (pure function).
+    """Structural merge of a scan into the map (pure function).
 
-    Steps: scan stats -> union with existing table (concat + sort + segment
-    merge of raw moments) -> LRU-evict overflow by oldest last_seen.
-    De-finalization: existing voxels re-expand mean/cov into raw moments so the
-    merge is exact (matches GaussianVoxel::add + finalize semantics,
-    reference: include/gtsam_points/types/gaussian_voxelmap_cpu.hpp).
+    Steps: scan moments -> union with the existing table (concat + sort +
+    segment-add of moment rows) -> LRU-evict overflow by oldest last_seen ->
+    hash-index rebuild. Exact merge semantics (matches GaussianVoxel::add +
+    finalize, reference: include/gtsam_points/types/gaussian_voxelmap_cpu.hpp).
     """
     cap = vmap.capacity
-    new_keys, new_cnt, new_s1, new_s2 = _scan_stats(frame, vmap.leaf, cap)
+    new_keys, new_mom = _scan_moments(frame, vmap.leaf, cap)
     epoch = vmap.epoch + 1
 
-    # de-finalize existing voxels to raw moments
-    old_s1 = vmap.mean * vmap.count[:, None]
-    old_s2 = (vmap.cov + jnp.einsum("ni,nj->nij", vmap.mean, vmap.mean)) * vmap.count[:, None, None]
-
     keys = jnp.concatenate([vmap.keys, new_keys])
-    cnt = jnp.concatenate([vmap.count, new_cnt])
-    s1 = jnp.concatenate([old_s1, new_s1])
-    s2 = jnp.concatenate([old_s2, new_s2])
+    mom = jnp.concatenate([vmap.moments, new_mom])
     seen = jnp.concatenate([vmap.last_seen, jnp.full((cap,), epoch, jnp.int32)])
-    # new-scan entries with zero count are padding
-    valid = (keys != vk.INVALID_KEY) & (cnt > 0)
+    valid = (keys != vk.INVALID_KEY) & (mom[:, 0] > 0)
     keys = jnp.where(valid, keys, vk.INVALID_KEY)
 
     order = jnp.argsort(keys)
-    keys, cnt, s1, s2, seen, valid = (
-        keys[order], cnt[order], s1[order], s2[order], seen[order], valid[order]
-    )
+    keys, mom, seen, valid = keys[order], mom[order], seen[order], valid[order]
     is_new = valid & jnp.concatenate([jnp.ones((1,), dtype=bool), keys[1:] != keys[:-1]])
     seg = jnp.cumsum(is_new.astype(jnp.int32)) - 1
     n2 = keys.shape[0]
     slot = jnp.where(valid, seg, n2)
 
-    m_cnt = jnp.zeros((n2 + 1,), jnp.float32).at[slot].add(cnt)[:n2]
-    m_s1 = jnp.zeros((n2 + 1, 3), jnp.float32).at[slot].add(s1)[:n2]
-    m_s2 = jnp.zeros((n2 + 1, 3, 3), jnp.float32).at[slot].add(s2)[:n2]
+    m_mom = jnp.zeros((n2 + 1, _MOM_LANES), jnp.float32).at[slot].add(mom)[:n2]
     m_seen = jnp.zeros((n2 + 1,), jnp.int32).at[slot].max(jnp.where(valid, seen, 0))[:n2]
     m_keys = jnp.full((n2 + 1,), vk.INVALID_KEY, jnp.int32).at[
         jnp.where(is_new, seg, n2)
     ].set(keys)[:n2]
 
     num_merged = jnp.maximum(seg[-1] + 1, 0)
-    # LRU eviction down to capacity: keep the `cap` most-recent voxels.
     merged_valid = m_keys != vk.INVALID_KEY
     recency = jnp.where(merged_valid, m_seen, -1)
     overflow = num_merged > cap
-    # rank voxels by recency (desc); evict beyond capacity only on overflow
     rank_order = jnp.argsort(-recency)  # most recent first, invalid last
     keep_flag = jnp.zeros((n2,), dtype=bool).at[rank_order[:cap]].set(True)
     keep = jnp.where(overflow, keep_flag & merged_valid, merged_valid)
 
-    # compact kept voxels into [cap] slots, preserving key-sorted order
     m_keys = jnp.where(keep, m_keys, vk.INVALID_KEY)
     dest = jnp.where(keep, jnp.cumsum(keep.astype(jnp.int32)) - 1, cap)
     f_keys = jnp.full((cap + 1,), vk.INVALID_KEY, jnp.int32).at[dest].set(m_keys)[:cap]
-    f_cnt = jnp.zeros((cap + 1,), jnp.float32).at[dest].set(m_cnt)[:cap]
-    f_s1 = jnp.zeros((cap + 1, 3), jnp.float32).at[dest].set(m_s1)[:cap]
-    f_s2 = jnp.zeros((cap + 1, 3, 3), jnp.float32).at[dest].set(m_s2)[:cap]
+    f_mom = jnp.zeros((cap + 1, _MOM_LANES), jnp.float32).at[dest].set(m_mom)[:cap]
     f_seen = jnp.zeros((cap + 1,), jnp.int32).at[dest].set(m_seen)[:cap]
-
-    denom = jnp.maximum(f_cnt, 1.0)
-    mean = f_s1 / denom[:, None]
-    cov = f_s2 / denom[:, None, None] - jnp.einsum("ni,nj->nij", mean, mean)
 
     return GaussianVoxelMap(
         leaf=vmap.leaf,
         keys=f_keys,
-        count=f_cnt,
-        mean=mean,
-        cov=cov,
+        moments=f_mom,
         last_seen=f_seen,
         epoch=epoch,
         num_voxels=jnp.minimum(num_merged, cap),
         hash_index=_build_hash_index(f_keys),
-        packed=_pack_rows(f_keys, f_cnt, mean, cov),
     )
+
+
+def insert_frame_fast(vmap: GaussianVoxelMap, frame: Frame):
+    """Steady-state insertion: ONE row scatter-add into voxels that already
+    exist (hash probe; no sort, no hash rebuild). Points landing in unmapped
+    voxels are dropped and counted.
+
+    -> (new_map, miss_fraction). Callers run the structural `insert_frame`
+    merge when miss_fraction is large (new territory) — see
+    pipelines/odometry.py. This mirrors the reference's split between cheap
+    per-scan voxel updates and structural growth (iVox insert vs rehash).
+    """
+    keys = vk.point_keys(frame.points, frame.mask, vmap.leaf)
+    row, found = _probe(vmap.hash_index, vmap.keys, keys)
+    w = (found & frame.mask).astype(jnp.float32)
+    cap = vmap.capacity
+    slot = jnp.where(w > 0, row, cap)
+
+    rows = point_moments(frame.points, frame.covs, w)
+    mom = jnp.concatenate([vmap.moments, jnp.zeros((1, _MOM_LANES), jnp.float32)]).at[slot].add(rows)[:cap]
+
+    epoch = vmap.epoch + 1
+    seen = jnp.concatenate([vmap.last_seen, jnp.zeros((1,), jnp.int32)]).at[slot].max(epoch)[:cap]
+    n_valid = jnp.maximum(frame.num_valid().astype(jnp.float32), 1.0)
+    miss_fraction = 1.0 - jnp.sum(w) / n_valid
+    new_map = GaussianVoxelMap(
+        leaf=vmap.leaf,
+        keys=vmap.keys,
+        moments=mom,
+        last_seen=seen,
+        epoch=epoch,
+        num_voxels=vmap.num_voxels,
+        hash_index=vmap.hash_index,  # keys unchanged
+    )
+    return new_map, miss_fraction
 
 
 def lookup_voxels(vmap: GaussianVoxelMap, points: jax.Array, mask: jax.Array):
     """Batched voxel lookup for query points -> (voxel_idx [N], found [N]).
 
     Replaces the device hash probe (reference:
-    include/gtsam_points/cuda/kernels/lookup_voxels.cuh:35-58) with binary
-    search over the sorted key table."""
+    include/gtsam_points/cuda/kernels/lookup_voxels.cuh:35-58) with a
+    double-hash single-gather probe."""
     keys = vk.point_keys(points, mask, vmap.leaf)
     idx_c, found = _probe(vmap.hash_index, vmap.keys, keys)
     return idx_c, found & mask

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 from gtsam_points_tpu.factors.gicp import GICPFactor
 from gtsam_points_tpu.factors.vgicp import VGICPFactor
 from gtsam_points_tpu.ops.hash_grid import build_hash_grid
-from gtsam_points_tpu.ops.voxelmap import GaussianVoxelMap, empty_voxelmap, insert_frame
+from gtsam_points_tpu.ops.voxelmap import GaussianVoxelMap, empty_voxelmap, insert_frame, insert_frame_fast
 from gtsam_points_tpu.optim.graph import FactorGraph
 from gtsam_points_tpu.optim.lm import LMParams, optimize_lm
 from gtsam_points_tpu.types.frame import Frame, transform_frame
@@ -43,6 +43,8 @@ class OdometryParams:
     max_iterations: int = 10
     keyframe_trans: float = 0.5  # insert into map when moved this far...
     keyframe_rot: float = 0.2  # ...or rotated this much since last insert
+    full_insert_miss_fraction: float = 0.05  # structural merge when more than
+    # this fraction of the scan lands in unmapped voxels
     lm: Optional[LMParams] = None
 
 
@@ -54,12 +56,8 @@ def init_odometry(first_frame: Frame, params: OdometryParams) -> OdometryState:
 
 
 @partial(jax.jit, static_argnums=(2,))
-def odometry_step(state: OdometryState, frame: Frame, params: OdometryParams, T_pred_delta=None):
-    """VGICP scan-to-map odometry step -> (new_state, T_world, diagnostics).
-
-    T_pred_delta optionally overrides the constant-velocity motion prediction
-    (e.g. an IMU or wheel-odometry prior) as the relative motion since the
-    previous frame."""
+def odometry_register(state: OdometryState, frame: Frame, params: OdometryParams, T_pred_delta=None):
+    """Registration half of the odometry step -> (T_new, T_delta, diagnostics)."""
     lm = params.lm or LMParams(max_iterations=params.max_iterations, max_inner_iterations=5)
     delta_pred = state.T_delta if T_pred_delta is None else T_pred_delta
     T_pred = state.T_world @ delta_pred
@@ -77,25 +75,54 @@ def odometry_step(state: OdometryState, frame: Frame, params: OdometryParams, T_
     T_new = res.poses[0]
     ok = jnp.all(jnp.isfinite(T_new))
     T_new = jnp.where(ok, T_new, T_pred)
-
     T_delta = se3.se3_inverse(state.T_world) @ T_new
+    diag = {"error": res.error, "iterations": res.status.num_iterations}
+    return T_new, T_delta, diag
 
-    # keyframe gating: insert into map when motion since last insert is large.
-    # The map's own LRU keeps memory bounded regardless.
+
+@partial(jax.jit, static_argnums=(4,))
+def _update_map_gated(state: OdometryState, frame: Frame, T_new, T_delta, params: OdometryParams):
+    """Device-side keyframe gating + cheap map scatter.
+    -> (new_vmap, gated_miss): gated_miss is 0 when no insertion was due,
+    else the fraction of the scan landing outside existing voxels."""
     xi = se3.se3_log(T_delta)
-    moved = (jnp.linalg.norm(xi[3:]) > params.keyframe_trans) | (
-        jnp.linalg.norm(xi[:3]) > params.keyframe_rot
-    ) | (state.num_frames <= 1)
+    moved = (
+        (jnp.linalg.norm(xi[3:]) > params.keyframe_trans)
+        | (jnp.linalg.norm(xi[:3]) > params.keyframe_rot)
+        | (state.num_frames <= 1)
+    )
+    world_frame = transform_frame(T_new, frame)
+    vm_fast, miss = insert_frame_fast(state.vmap, world_frame)
+    vmap_new = jax.tree_util.tree_map(lambda a, b: jnp.where(moved, b, a), state.vmap, vm_fast)
+    return vmap_new, jnp.where(moved, miss, 0.0), world_frame
 
-    def do_insert(vm):
-        return insert_frame(vm, transform_frame(T_new, frame))
 
-    vmap_new = jax.lax.cond(moved, do_insert, lambda vm: vm, state.vmap)
+@jax.jit
+def _full_map_update(vmap, world_frame):
+    return insert_frame(vmap, world_frame)
+
+
+def odometry_step(state: OdometryState, frame: Frame, params: OdometryParams, T_pred_delta=None):
+    """VGICP scan-to-map odometry step -> (new_state, T_world, diagnostics).
+
+    Two jitted programs + ONE host sync per step: registration, then gated map
+    scatter (insert_frame_fast). The expensive structural merge (sort + hash
+    rebuild) runs only when the scatter reports that more than
+    `params.full_insert_miss_fraction` of the scan fell outside existing
+    voxels (new territory). T_pred_delta optionally overrides the
+    constant-velocity prediction (IMU / wheel-odometry prior).
+    """
+    T_new, T_delta, diag = odometry_register(state, frame, params, T_pred_delta)
+    vmap_new, miss, world_frame = _update_map_gated(state, frame, T_new, T_delta, params)
+    full_merge = False
+    if float(miss) > params.full_insert_miss_fraction:  # the one host sync
+        vmap_new = _full_map_update(state.vmap, world_frame)
+        full_merge = True
 
     new_state = OdometryState(
         vmap=vmap_new, T_world=T_new, T_delta=T_delta, num_frames=state.num_frames + 1
     )
-    diag = {"error": res.error, "iterations": res.status.num_iterations, "inserted": moved}
+    diag = dict(diag, miss_fraction=miss, full_merge=full_merge)
     return new_state, T_new, diag
 
 
