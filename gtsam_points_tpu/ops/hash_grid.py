@@ -195,6 +195,37 @@ def knn_search(
     return orig_idx, top_sq, top_valid
 
 
+def radius_search(
+    grid: HashGrid,
+    queries: jax.Array,
+    query_mask: jax.Array,
+    radius: float | jax.Array,
+    max_neighbors: int,
+    num_neighbor_cells: int = 27,
+):
+    """Fixed-shape radius search: up to `max_neighbors` points within `radius`
+    of each query, nearest-first (reference NNS iface radius_search,
+    include/gtsam_points/ann/nearest_neighbor_search.hpp:40-56 — there too the
+    caller supplies a max neighbor budget).
+
+    NOTE: like the reference's voxel-scan kNN, recall is bounded by the cell
+    neighborhood scanned — use radius <= grid.leaf for exact coverage with the
+    default 27-cell scan.
+
+    Returns (indices [Q, M], sq_dists [Q, M], valid [Q, M], num_found [Q]).
+    """
+    r = jnp.asarray(radius, jnp.float32)
+    idx, sq, valid = knn_search(
+        grid,
+        queries,
+        query_mask,
+        max_neighbors,
+        num_neighbor_cells=num_neighbor_cells,
+        max_sq_dist=r * r,
+    )
+    return idx, sq, valid, jnp.sum(valid.astype(jnp.int32), axis=-1)
+
+
 def brute_force_knn(
     points: jax.Array,
     point_mask: jax.Array,

@@ -87,3 +87,31 @@ def test_eigh3_degenerate():
     # orthonormal basis
     VtV = jnp.einsum("nij,nik->njk", V, V)
     np.testing.assert_allclose(VtV, np.broadcast_to(np.eye(3), (4, 3, 3)), atol=1e-5)
+
+
+def test_radius_search():
+    """radius_search returns exactly the points within r, nearest-first
+    (reference NNS iface, ann/nearest_neighbor_search.hpp:40-56)."""
+    from gtsam_points_tpu.ops.hash_grid import radius_search
+
+    rng = np.random.RandomState(3)
+    pts = rng.rand(500, 3).astype(np.float32) * 4.0
+    q = rng.rand(40, 3).astype(np.float32) * 4.0
+    frame = make_frame(pts)
+    qf = make_frame(q)
+    grid = build_hash_grid(frame.points, frame.mask, leaf=1.0, max_points_per_cell=64)
+    r = 0.6
+    idx, sq, valid, nfound = jax.jit(
+        lambda g, qp, qm: radius_search(g, qp, qm, r, max_neighbors=32)
+    )(grid, qf.points, qf.mask)
+    idx, sq, valid, nfound = map(np.asarray, (idx, sq, valid, nfound))
+    d = ((q[:, None, :] - pts[None, :, :]) ** 2).sum(-1)
+    for i in range(40):
+        expect = set(np.where(d[i] <= r * r)[0].tolist())
+        if len(expect) > 32:
+            continue
+        got = set(idx[i][valid[i]].tolist())
+        assert got == expect
+        assert nfound[i] == len(expect)
+        s = sq[i][valid[i]]
+        assert (np.diff(s) >= -1e-6).all()
