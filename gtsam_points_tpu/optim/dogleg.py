@@ -44,7 +44,10 @@ def optimize_dogleg(graph: FactorGraph, poses: jax.Array, params: Optional[Dogle
 
     def body(state):
         poses, Delta, err0, it, done = state
-        A, b, err_lin = graph.linearize_full(poses)
+        # frozen-correspondence accept gate, like optimize_lm: scoring the
+        # candidate on the linearization point's correspondences keeps inlier
+        # churn from rejecting good steps and collapsing the trust region
+        A, b, err_lin, frozen_err = graph.linearize_frozen(poses)
         # Gauss-Newton step
         Areg = A + 1e-8 * jnp.eye(A.shape[0], dtype=A.dtype)
         dx_gn = jax.scipy.linalg.cho_solve(jax.scipy.linalg.cho_factor(Areg, lower=True), b)
@@ -74,7 +77,7 @@ def optimize_dogleg(graph: FactorGraph, poses: jax.Array, params: Optional[Dogle
         )
         pred = 2.0 * jnp.dot(b, dx) - dx @ (A @ dx)
         cand = retract(poses, dx)
-        cand_err = graph.error(cand)
+        cand_err = frozen_err(cand)
         rho = (err_lin - cand_err) / jnp.maximum(pred, 1e-10)
         accept = (pred > 0) & (rho > 0.0) & jnp.isfinite(cand_err)
         poses_n = jax.tree_util.tree_map(lambda a, c: jnp.where(accept, c, a), poses, cand)
