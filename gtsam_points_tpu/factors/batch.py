@@ -49,31 +49,32 @@ class VGICPFactorBatch:
     def num_factors(self) -> int:
         return self.sources.points.shape[0]
 
-    def _linearize_one(self, vmap: GaussianVoxelMap, source: Frame, T_t, T_s):
+    def _planar_one(self, vmap: GaussianVoxelMap, source: Frame, T_t, T_s):
+        """Frozen planar closure at (T_t, T_s): -> (pts_p, pm, mu, W6, found,
+        delta). Same analytic fast path as VGICPFactor (ops/planar.py)."""
+        from gtsam_points_tpu.ops import planar
+        from gtsam_points_tpu.ops.voxelmap import lookup_fetch_planar
+
+        pts_p = source.points.T
         delta = se3.se3_inverse(T_t) @ T_s
-        moved = se3.transform_points(delta, source.points)
-        found, vcount, mu, C_t = lookup_fetch(vmap, moved, source.mask)
+        pm = planar.transform(delta, pts_p)
+        found, vcount, mu, C6 = lookup_fetch_planar(vmap, pm, source.mask)
         found = found & (vcount >= self.min_voxel_points)
-        R = delta[:3, :3]
         if source.covs is not None:
-            fused = C_t + jnp.einsum("ij,njk,lk->nil", R, source.covs, R)
+            c = source.covs
+            covs6 = jnp.stack([c[:, 0, 0], c[:, 0, 1], c[:, 0, 2], c[:, 1, 1], c[:, 1, 2], c[:, 2, 2]])
+            fused = C6 + planar.sym_rotate(delta[:3, :3], covs6)
         else:
-            fused = C_t + 1e-3 * jnp.eye(3, dtype=C_t.dtype)
-        W = inv3x3(fused)
+            eye6 = jnp.asarray([1.0, 0.0, 0.0, 1.0, 0.0, 1.0], C6.dtype) * 1e-3
+            fused = C6 + eye6[:, None]
+        W6 = planar.sym_inv(fused)
+        return pts_p, pm, mu, W6, found, delta
 
-        def residual_fn(T_t_p, T_s_p):
-            d = se3.se3_inverse(T_t_p) @ T_s_p
-            return se3.transform_points(d, source.points) - mu, W, found
+    def _linearize_one(self, vmap: GaussianVoxelMap, source: Frame, T_t, T_s):
+        from gtsam_points_tpu.ops import planar
 
-        zero = jnp.zeros((12,), jnp.float32)
-
-        def at(xi):
-            r, _, _ = residual_fn(T_t @ se3.se3_exp(xi[:6]), T_s @ se3.se3_exp(xi[6:]))
-            return r
-
-        r0, _, _ = residual_fn(T_t, T_s)
-        J = jax.jacfwd(at)(zero)
-        return reduce_system(r0, J, W, found)
+        pts_p, pm, mu, W6, found, delta = self._planar_one(vmap, source, T_t, T_s)
+        return planar.linearize_point_system(pts_p, pm, pm - mu, W6, found, delta[:3, :3])
 
     def _resolved_poses(self, poses):
         eye = jnp.eye(4, dtype=jnp.float32)
@@ -113,19 +114,12 @@ class VGICPFactorBatch:
 
             def one(vmap, source, T_t0, T_s0, nTt, nTs):
                 # recompute frozen aux at OLD poses, evaluate at new
-                delta = se3.se3_inverse(T_t0) @ T_s0
-                moved = se3.transform_points(delta, source.points)
-                found, vcount, mu, C_t = lookup_fetch(vmap, moved, source.mask)
-                found = found & (vcount >= mvp)
-                R = delta[:3, :3]
-                if source.covs is not None:
-                    fused = C_t + jnp.einsum("ij,njk,lk->nil", R, source.covs, R)
-                else:
-                    fused = C_t + 1e-3 * jnp.eye(3, dtype=C_t.dtype)
-                W = inv3x3(fused)
-                d = se3.se3_inverse(nTt) @ nTs
-                r = se3.transform_points(d, source.points) - mu
-                return jnp.sum(jnp.einsum("ni,nij,nj->n", r, W, r) * found.astype(r.dtype))
+                from gtsam_points_tpu.ops import planar
+
+                pts_p, _, mu, W6, found, _ = self._planar_one(vmap, source, T_t0, T_s0)
+                nd = se3.se3_inverse(nTt) @ nTs
+                r = planar.transform(nd, pts_p) - mu
+                return planar.weighted_error(r, W6, found)
 
             return jnp.sum(jax.vmap(one)(vmaps, sources, T_t, T_s, nT_t, nT_s))
 

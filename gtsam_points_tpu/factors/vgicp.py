@@ -35,7 +35,69 @@ class VGICPFactor(MatchingFactorMixin):
     source_key: int
     min_voxel_points: float
 
+    def _source_planar(self):
+        """(points [3,N], covs6 [6,N] or None) — planar source views."""
+        pts_p = self.source.points.T
+        if self.source.covs is not None:
+            c = self.source.covs
+            covs6 = jnp.stack([c[:, 0, 0], c[:, 0, 1], c[:, 0, 2], c[:, 1, 1], c[:, 1, 2], c[:, 2, 2]])
+        else:
+            covs6 = None
+        return pts_p, covs6
+
+    def _planar_closure(self, T_t: jax.Array, T_s: jax.Array):
+        """-> (lin inputs + frozen error fn) in planar layout (ops/planar.py)."""
+        from gtsam_points_tpu.ops import planar
+        from gtsam_points_tpu.ops.voxelmap import lookup_fetch_planar
+
+        pts_p, covs6 = self._source_planar()
+        delta = se3.se3_inverse(T_t) @ T_s
+        pm = planar.transform(delta, pts_p)
+        found, count, mu, C6 = lookup_fetch_planar(self.voxelmap, pm, self.source.mask)
+        found = found & (count >= self.min_voxel_points)
+        if covs6 is not None:
+            fused = C6 + planar.sym_rotate(delta[:3, :3], covs6)
+        else:
+            eye6 = jnp.asarray([1.0, 0.0, 0.0, 1.0, 0.0, 1.0], C6.dtype) * 1e-3
+            fused = C6 + eye6[:, None]
+        W6 = planar.sym_inv(fused)
+        return pts_p, pm, mu, W6, found, delta
+
+    def linearize(self, poses: jax.Array):
+        from gtsam_points_tpu.factors.base import factor_poses
+        from gtsam_points_tpu.ops import planar
+
+        T_t, T_s = factor_poses(self, poses)
+        pts_p, pm, mu, W6, found, delta = self._planar_closure(T_t, T_s)
+        return planar.linearize_point_system(pts_p, pm, pm - mu, W6, found, delta[:3, :3])
+
+    def linearize_with_error_fn(self, poses: jax.Array):
+        from gtsam_points_tpu.factors.base import factor_poses
+        from gtsam_points_tpu.ops import planar
+
+        T_t, T_s = factor_poses(self, poses)
+        pts_p, pm, mu, W6, found, delta = self._planar_closure(T_t, T_s)
+        lin = planar.linearize_point_system(pts_p, pm, pm - mu, W6, found, delta[:3, :3])
+
+        def err_fn(new_poses):
+            nT_t, nT_s = factor_poses(self, new_poses)
+            nd = se3.se3_inverse(nT_t) @ nT_s
+            npm = planar.transform(nd, pts_p)
+            return planar.weighted_error(npm - mu, W6, found)
+
+        return lin, err_fn
+
+    def error(self, poses: jax.Array):
+        from gtsam_points_tpu.factors.base import factor_poses
+        from gtsam_points_tpu.ops import planar
+
+        T_t, T_s = factor_poses(self, poses)
+        _, pm, mu, W6, found, _ = self._planar_closure(T_t, T_s)
+        return planar.weighted_error(pm - mu, W6, found)
+
     def residual_closure(self, T_t: jax.Array, T_s: jax.Array):
+        """AD-path closure (kept as the reference implementation the planar
+        fast path is verified against; see tests/test_planar.py)."""
         from gtsam_points_tpu.ops.voxelmap import lookup_fetch
 
         delta = se3.se3_inverse(T_t) @ T_s

@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from gtsam_points_tpu.ops import voxel_keys as vk
-from gtsam_points_tpu.ops.hash_index import build_hash_index as _build_hash_index, hash_key as _hash_key
+from gtsam_points_tpu.ops.hash_index import build_hash_index as _build_hash_index, probe as _probe
 
 
 class OccupancyGrid(NamedTuple):
@@ -81,12 +81,7 @@ def occupied(grid: OccupancyGrid, points, mask):
     coords = vk.voxel_coords(points, 1.0 / grid.leaf)
     block, bit = _split_coords(coords)
     keys = jnp.where(mask, vk.pack_coords(block), vk.INVALID_KEY)
-    row1 = grid.hash_index[0, _hash_key(keys, 0)]
-    ok1 = (row1 >= 0) & (grid.block_keys[jnp.maximum(row1, 0)] == keys)
-    row2 = grid.hash_index[1, _hash_key(keys, 1)]
-    ok2 = (row2 >= 0) & (grid.block_keys[jnp.maximum(row2, 0)] == keys)
-    row = jnp.maximum(jnp.where(ok1, row1, row2), 0)
-    found_block = ok1 | ok2
+    row, found_block = _probe(grid.hash_index, grid.block_keys, keys)
     word = (bit >> 5).astype(jnp.int32)
     shift = (bit & 31).astype(jnp.uint32)
     w = grid.bits[row, word]

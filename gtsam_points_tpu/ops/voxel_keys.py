@@ -81,3 +81,12 @@ def neighbor_offsets(num: int) -> jax.Array:
     else:
         raise ValueError(f"unsupported neighborhood {num} (use 1/7/19/27)")
     return jnp.asarray(offs, dtype=jnp.int32)
+
+
+def point_keys_planar(points_p: jax.Array, mask: jax.Array, leaf) -> jax.Array:
+    """Planar variant of point_keys: points_p [3, N] -> keys [N]. Sublane
+    slices instead of minor-dim slices — full lane occupancy on TPU."""
+    c = fast_floor(points_p * (1.0 / leaf))
+    c = (c + HALF) & MASK
+    keys = (c[0] << (2 * BITS)) | (c[1] << BITS) | c[2]
+    return jnp.where(mask, keys, INVALID_KEY)

@@ -35,6 +35,7 @@ from gtsam_points_tpu.ops.hash_index import (
     HASH_BITS,
     HASH_SIZE,
     build_hash_index as _build_hash_index,
+    table_size_for,
     hash_key as _hash_key,
     probe as _probe,
 )
@@ -157,7 +158,7 @@ def empty_voxelmap(leaf: float, capacity: int) -> GaussianVoxelMap:
         last_seen=jnp.zeros((capacity,), dtype=jnp.int32),
         epoch=jnp.int32(0),
         num_voxels=jnp.int32(0),
-        hash_index=jnp.full((2, HASH_SIZE), -1, dtype=jnp.int32),
+        hash_index=jnp.full((2, table_size_for(capacity)), -1, dtype=jnp.int32),
     )
 
 
@@ -306,3 +307,103 @@ def save_voxelmap(path: str, vmap: GaussianVoxelMap) -> None:
 def load_voxelmap(path: str) -> GaussianVoxelMap:
     data = np.load(path)
     return GaussianVoxelMap(**{k: jnp.asarray(data[k]) for k in data.files})
+
+
+def lookup_fetch_planar(vmap: GaussianVoxelMap, moved_p: jax.Array, mask: jax.Array):
+    """Planar-layout lookup for the hot VGICP path: moved_p [3, N] ->
+    (found [N], count [N], mean [3, N], cov6 [6, N]).
+
+    Same probe + row gather as lookup_fetch, but the fetched [N, 16] moment
+    rows are transposed ONCE to [16, N] and finalized with sublane slices —
+    no [N, 3] / [N, 3, 3] minor-dim relayouts (see ops/planar.py)."""
+    keys = vk.point_keys_planar(moved_p, mask, vmap.leaf)
+    row, found = _probe(vmap.hash_index, vmap.keys, keys)
+    rT = vmap.moments[row].T  # [16, N]
+    found = found & mask
+    cnt = rT[0]
+    safe = jnp.maximum(cnt, 1.0)
+    mu = rT[1:4] / safe
+    s6 = rT[4:10] / safe
+    mu2 = jnp.stack(
+        [mu[0] * mu[0], mu[0] * mu[1], mu[0] * mu[2], mu[1] * mu[1], mu[1] * mu[2], mu[2] * mu[2]]
+    )
+    return found, cnt, mu, s6 - mu2
+
+
+def insert_frame_incremental(vmap: GaussianVoxelMap, frame: Frame):
+    """Fully-incremental insertion: scatter-add moments into existing voxels
+    AND append newly-seen voxels — no full-map re-sort, no host sync, jittable
+    as part of a larger step (the odometry pipeline wraps it in lax.cond).
+
+    New-voxel append: unique missed keys (one sort of the SCAN, not the map)
+    take rows [num_voxels, num_voxels + m); the double-hash index is updated
+    by scatter with min-claim semantics (existing entries always win because
+    appended rows have larger ids). Keys that lose both hash slots stay in
+    the table but unreachable — the analogue of the reference's tolerated
+    insertion drops (types/gaussian_voxelmap_gpu.hpp:49-54, `target_points_
+    drop_rate`).
+
+    -> (new_vmap, overflow): `overflow` is True when the append ran past
+    capacity (callers should then run the structural `insert_frame`, which
+    LRU-evicts; appended rows past capacity are dropped here).
+    """
+    cap = vmap.capacity
+    epoch = vmap.epoch + 1
+    keys = vk.point_keys(frame.points, frame.mask, vmap.leaf)
+    row, found = _probe(vmap.hash_index, vmap.keys, keys)
+    rows_mom = point_moments(frame.points, frame.covs, frame.mask.astype(jnp.float32))
+
+    # 1) accumulate into existing voxels
+    slot_exist = jnp.where(found, row, cap)
+    moments = jnp.concatenate([vmap.moments, jnp.zeros((1, _MOM_LANES), jnp.float32)])
+    moments = moments.at[slot_exist].add(jnp.where(found[:, None], rows_mom, 0.0))[:cap]
+    last_seen = jnp.concatenate([vmap.last_seen, jnp.zeros((1,), jnp.int32)])
+    last_seen = last_seen.at[slot_exist].max(jnp.where(found, epoch, 0))[:cap]
+
+    # 2) unique missed keys -> appended rows
+    miss_keys = jnp.where(frame.mask & ~found, keys, vk.INVALID_KEY)
+    order = jnp.argsort(miss_keys)
+    skeys = miss_keys[order]
+    smom = rows_mom[order]
+    valid = skeys != vk.INVALID_KEY
+    is_new = valid & jnp.concatenate([jnp.ones((1,), bool), skeys[1:] != skeys[:-1]])
+    seg = jnp.cumsum(is_new.astype(jnp.int32)) - 1  # unique id per missed point
+    num_new = jnp.maximum(seg[-1] + 1, 0)
+    dest = jnp.where(valid, vmap.num_voxels + seg, cap)  # capped below
+    overflow = (vmap.num_voxels + num_new) > cap
+    dest = jnp.minimum(dest, cap)
+
+    keyslot = jnp.where(is_new, dest, cap)
+    new_keys = jnp.concatenate([vmap.keys, jnp.asarray([vk.INVALID_KEY])])
+    new_keys = new_keys.at[keyslot].set(jnp.where(is_new, skeys, vk.INVALID_KEY))[:cap]
+    moments = jnp.concatenate([moments, jnp.zeros((1, _MOM_LANES), jnp.float32)])
+    moments = moments.at[dest].add(jnp.where(valid[:, None], smom, 0.0))[:cap]
+    last_seen = jnp.concatenate([last_seen, jnp.zeros((1,), jnp.int32)])
+    last_seen = last_seen.at[keyslot].max(epoch)[:cap]
+
+    # 3) hash-index insert for the appended keys (min-claim; empty = sentinel)
+    u_keys = jnp.where(is_new, skeys, vk.INVALID_KEY)
+    u_rows = jnp.where(is_new & (dest < cap), dest, cap)
+    size = vmap.hash_index.shape[-1]
+    sentinel = jnp.int32(0x7FFFFFFF)
+    t1 = jnp.where(vmap.hash_index[0] < 0, sentinel, vmap.hash_index[0])
+    s1 = jnp.where(u_rows < cap, _hash_key(u_keys, 0, size), size)
+    t1 = jnp.concatenate([t1, jnp.asarray([sentinel])]).at[s1].min(u_rows)[:size]
+    won1 = t1[jnp.minimum(s1, size - 1)] == u_rows
+    t2 = jnp.where(vmap.hash_index[1] < 0, sentinel, vmap.hash_index[1])
+    s2 = jnp.where((u_rows < cap) & ~won1, _hash_key(u_keys, 1, size), size)
+    t2 = jnp.concatenate([t2, jnp.asarray([sentinel])]).at[s2].min(u_rows)[:size]
+    hash_index = jnp.stack(
+        [jnp.where(t1 == sentinel, -1, t1), jnp.where(t2 == sentinel, -1, t2)]
+    )
+
+    out = GaussianVoxelMap(
+        leaf=vmap.leaf,
+        keys=new_keys,
+        moments=moments,
+        last_seen=last_seen,
+        epoch=epoch,
+        num_voxels=jnp.minimum(vmap.num_voxels + num_new, cap),
+        hash_index=hash_index,
+    )
+    return out, overflow

@@ -21,7 +21,13 @@ import jax.numpy as jnp
 from gtsam_points_tpu.factors.gicp import GICPFactor
 from gtsam_points_tpu.factors.vgicp import VGICPFactor
 from gtsam_points_tpu.ops.hash_grid import build_hash_grid
-from gtsam_points_tpu.ops.voxelmap import GaussianVoxelMap, empty_voxelmap, insert_frame, insert_frame_fast
+from gtsam_points_tpu.ops.voxelmap import (
+    GaussianVoxelMap,
+    empty_voxelmap,
+    insert_frame,
+    insert_frame_fast,
+    insert_frame_incremental,
+)
 from gtsam_points_tpu.optim.graph import FactorGraph
 from gtsam_points_tpu.optim.lm import LMParams, optimize_lm
 from gtsam_points_tpu.types.frame import Frame, transform_frame
@@ -102,27 +108,65 @@ def _full_map_update(vmap, world_frame):
     return insert_frame(vmap, world_frame)
 
 
+@partial(jax.jit, static_argnums=(2,))
 def odometry_step(state: OdometryState, frame: Frame, params: OdometryParams, T_pred_delta=None):
     """VGICP scan-to-map odometry step -> (new_state, T_world, diagnostics).
 
-    Two jitted programs + ONE host sync per step: registration, then gated map
-    scatter (insert_frame_fast). The expensive structural merge (sort + hash
-    rebuild) runs only when the scatter reports that more than
-    `params.full_insert_miss_fraction` of the scan fell outside existing
-    voxels (new territory). T_pred_delta optionally overrides the
-    constant-velocity prediction (IMU / wheel-odometry prior).
-    """
-    T_new, T_delta, diag = odometry_register(state, frame, params, T_pred_delta)
-    vmap_new, miss, world_frame = _update_map_gated(state, frame, T_new, T_delta, params)
-    full_merge = False
-    if float(miss) > params.full_insert_miss_fraction:  # the one host sync
-        vmap_new = _full_map_update(state.vmap, world_frame)
-        full_merge = True
+    ONE jitted program, ZERO host syncs per step: registration, keyframe
+    gating, and map insertion all run device-side (`lax.cond` picks the
+    branch), so consecutive steps pipeline — on the remote-TPU path a host
+    sync costs ~30 ms of round-trip latency, dwarfing the ~10 ms of device
+    work. Insertion is the incremental append (ops/voxelmap.py:
+    insert_frame_incremental); the expensive structural merge with LRU
+    eviction runs only when the append would overflow map capacity.
+    T_pred_delta optionally overrides the constant-velocity prediction
+    (IMU / wheel-odometry prior)."""
+    lm = params.lm or LMParams(max_iterations=params.max_iterations, max_inner_iterations=5)
+    delta_pred = state.T_delta if T_pred_delta is None else T_pred_delta
+    T_pred = state.T_world @ delta_pred
 
+    factor = VGICPFactor(
+        voxelmap=state.vmap,
+        source=frame,
+        fixed_target_pose=jnp.eye(4, dtype=jnp.float32),
+        target_key=-1,
+        source_key=0,
+        min_voxel_points=params.min_voxel_points,
+    )
+    graph = FactorGraph([factor], num_poses=1)
+    res = optimize_lm(graph, T_pred[None], lm)
+    T_new = res.poses[0]
+    ok = jnp.all(jnp.isfinite(T_new))
+    T_new = jnp.where(ok, T_new, T_pred)
+    T_delta = se3.se3_inverse(state.T_world) @ T_new
+
+    xi = se3.se3_log(T_delta)
+    moved = (
+        (jnp.linalg.norm(xi[3:]) > params.keyframe_trans)
+        | (jnp.linalg.norm(xi[:3]) > params.keyframe_rot)
+        | (state.num_frames <= 1)
+    )
+    world_frame = transform_frame(T_new, frame)
+
+    def do_insert(vm):
+        vm2, overflow = insert_frame_incremental(vm, world_frame)
+        return (
+            jax.lax.cond(overflow, lambda: insert_frame(vm, world_frame), lambda: vm2),
+            overflow,
+        )
+
+    vmap_new, full_merge = jax.lax.cond(
+        moved, do_insert, lambda vm: (vm, jnp.asarray(False)), state.vmap
+    )
     new_state = OdometryState(
         vmap=vmap_new, T_world=T_new, T_delta=T_delta, num_frames=state.num_frames + 1
     )
-    diag = dict(diag, miss_fraction=miss, full_merge=full_merge)
+    diag = {
+        "error": res.error,
+        "iterations": res.status.num_iterations,
+        "inserted": moved,
+        "full_merge": full_merge,
+    }
     return new_state, T_new, diag
 
 

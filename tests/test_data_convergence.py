@@ -80,3 +80,32 @@ def test_kitti07_vgicp_graph(kitti07):
     poses0 = noised_poses(T_gt)
     res = jax.jit(lambda p: optimize_lm(graph, p, LMParams(max_iterations=20)))(poses0)
     check_errors(res.poses, T_gt)
+
+
+def test_kitti07_gicp_graph_moments_covs(kitti07):
+    """Same protocol with the fast moments-based covariance estimation
+    (ops/features.py:estimate_normals_covs_moments) — must meet the same
+    reference bounds."""
+    from gtsam_points_tpu.ops.features import estimate_normals_covs_moments
+
+    frames_knn, T_gt = kitti07
+
+    @jax.jit
+    def preprocess(f):
+        f = voxelgrid_sampling(f, 0.5, capacity=16384)
+        return estimate_normals_covs_moments(f, leaf=1.0)
+
+    frames = []
+    for i in range(NUM_POSES):
+        pts = io.read_points(
+            os.path.join(os.environ.get("GTSAM_POINTS_DATA", "/root/reference/data"),
+                         f"kitti_07_dump/{i:06d}/points.bin"))
+        frames.append(preprocess(make_frame(pts, capacity=25088)))
+
+    graph = FactorGraph(num_poses=NUM_POSES)
+    graph.add(PriorFactor(prior=jnp.asarray(T_gt[0]), weights=jnp.full((6,), 1e6), key=0))
+    for i in range(NUM_POSES - 1):
+        graph.add(make_gicp_factor(i, i + 1, frames[i], frames[i + 1], max_corr_dist=2.0, grid_leaf=1.0))
+    poses0 = noised_poses(T_gt)
+    res = jax.jit(lambda p: optimize_lm(graph, p, LMParams(max_iterations=20)))(poses0)
+    check_errors(res.poses, T_gt)

@@ -128,3 +128,57 @@ def test_save_load_roundtrip(tmp_path):
     vm2 = load_voxelmap(path)
     for a, b in zip(vmap, vm2):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_insert_frame_incremental_matches_structural():
+    """Incremental append must agree with the structural merge on contents:
+    same voxel set, same per-voxel moments, lookups find the same cells."""
+    import jax
+    import jax.numpy as jnp
+
+    from gtsam_points_tpu.ops.voxelmap import (
+        build_voxelmap,
+        empty_voxelmap,
+        insert_frame,
+        insert_frame_incremental,
+        lookup_fetch,
+    )
+    from gtsam_points_tpu.types.frame import make_frame
+
+    rng = np.random.RandomState(0)
+    a = (rng.rand(500, 3) * 8).astype(np.float32)
+    b = (rng.rand(400, 3) * 8 + 4).astype(np.float32)  # overlaps half of a
+    fa = make_frame(a, capacity=512)
+    fb = make_frame(b, capacity=512)
+
+    vm = empty_voxelmap(1.0, 4096)
+    vm = insert_frame(vm, fa)
+    vm_inc, overflow = jax.jit(insert_frame_incremental)(vm, fb)
+    assert not bool(overflow)
+    vm_str = insert_frame(vm, fb)
+
+    assert int(vm_inc.num_voxels) == int(vm_str.num_voxels)
+    # same lookup results for every inserted point (count + mean agree)
+    for f in (fa, fb):
+        fi, ci, mi, _ = lookup_fetch(vm_inc, f.points, f.mask)
+        fs, cs, ms, _ = lookup_fetch(vm_str, f.points, f.mask)
+        assert bool(jnp.all(fi == fs))
+        np.testing.assert_allclose(np.asarray(ci)[np.asarray(fi)], np.asarray(cs)[np.asarray(fs)])
+        np.testing.assert_allclose(
+            np.asarray(mi)[np.asarray(fi)], np.asarray(ms)[np.asarray(fs)], atol=1e-5
+        )
+
+
+def test_insert_frame_incremental_overflow_flag():
+    import jax
+    import numpy as np
+
+    from gtsam_points_tpu.ops.voxelmap import empty_voxelmap, insert_frame_incremental
+    from gtsam_points_tpu.types.frame import make_frame
+
+    rng = np.random.RandomState(1)
+    pts = (rng.rand(600, 3) * 50).astype(np.float32)  # ~ >512 distinct 1m voxels
+    vm = empty_voxelmap(1.0, 256)
+    vm2, overflow = jax.jit(insert_frame_incremental)(vm, make_frame(pts, capacity=1024))
+    assert bool(overflow)
+    assert int(vm2.num_voxels) == 256
