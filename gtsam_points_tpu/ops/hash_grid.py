@@ -38,7 +38,7 @@ class HashGrid(NamedTuple):
     cell_pt_index: [C, J] original index of each tile slot (-1 padded)
     cell_count:    [C] int32 number of points in the cell (may exceed J)
     num_cells:     () int32
-    hash_index:    [2, 2^20] int32 double-hash index over cell_keys
+    hash_index:    [2, size, 2] int32 double-hash (row, key) pair index over cell_keys
     neighbor_rows: [C, 27] int32 precomputed rows of each cell's 27-neighborhood
                    (-1 = unoccupied). kNN probes the hash ONCE per query (its own
                    cell) and fetches the neighborhood with one wide-row gather —

@@ -23,7 +23,7 @@ class OccupancyGrid(NamedTuple):
     leaf: jax.Array  # cell size
     block_keys: jax.Array  # [B] packed BLOCK coords (sorted, INVALID padded)
     bits: jax.Array  # [B, 2] uint32 bit words (64 cells per block)
-    hash_index: jax.Array  # [2, HASH_SIZE]
+    hash_index: jax.Array  # [2, size, 2] (row, key) pair index
 
     @property
     def capacity(self) -> int:

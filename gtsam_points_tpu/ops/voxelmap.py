@@ -35,6 +35,7 @@ from gtsam_points_tpu.ops.hash_index import (
     HASH_BITS,
     HASH_SIZE,
     build_hash_index as _build_hash_index,
+    empty_hash_index as _empty_hash_index,
     table_size_for,
     hash_key as _hash_key,
     probe as _probe,
@@ -58,10 +59,12 @@ class GaussianVoxelMap(NamedTuple):
     last_seen: [C] int32 insertion-epoch of last touch (for LRU)
     epoch:     () int32 current insertion counter
     num_voxels:() int32
-    hash_index:[2, 2^HASH_BITS] int32 double-hash index: slot -> voxel row
-               (-1 empty). Probe-1 collision losers land in table 2; double
-               collisions (~1e-5) are dropped, mirroring the reference's
-               tolerated insertion drops (types/gaussian_voxelmap_gpu.hpp:49-54).
+    hash_index:[2, size, 2] int32 double-hash PAIR index: slot -> (voxel row,
+               key) (-1/INVALID_KEY empty) so one gather locates + verifies
+               (see ops/hash_index.py). Probe-1 collision losers land in table
+               2; double collisions (~1e-5) are dropped, mirroring the
+               reference's tolerated insertion drops
+               (types/gaussian_voxelmap_gpu.hpp:49-54).
     """
 
     leaf: jax.Array
@@ -158,7 +161,7 @@ def empty_voxelmap(leaf: float, capacity: int) -> GaussianVoxelMap:
         last_seen=jnp.zeros((capacity,), dtype=jnp.int32),
         epoch=jnp.int32(0),
         num_voxels=jnp.int32(0),
-        hash_index=jnp.full((2, table_size_for(capacity)), -1, dtype=jnp.int32),
+        hash_index=_empty_hash_index(table_size_for(capacity)),
     )
 
 
@@ -306,7 +309,10 @@ def save_voxelmap(path: str, vmap: GaussianVoxelMap) -> None:
 
 def load_voxelmap(path: str) -> GaussianVoxelMap:
     data = np.load(path)
-    return GaussianVoxelMap(**{k: jnp.asarray(data[k]) for k in data.files})
+    fields = {k: jnp.asarray(data[k]) for k in data.files}
+    if fields["hash_index"].ndim == 2:  # pre-pair-layout file: rebuild index
+        fields["hash_index"] = _build_hash_index(fields["keys"])
+    return GaussianVoxelMap(**fields)
 
 
 def lookup_fetch_planar(vmap: GaussianVoxelMap, moved_p: jax.Array, mask: jax.Array):
@@ -381,20 +387,34 @@ def insert_frame_incremental(vmap: GaussianVoxelMap, frame: Frame):
     last_seen = jnp.concatenate([last_seen, jnp.zeros((1,), jnp.int32)])
     last_seen = last_seen.at[keyslot].max(epoch)[:cap]
 
-    # 3) hash-index insert for the appended keys (min-claim; empty = sentinel)
+    # 3) hash-index insert for the appended keys (min-claim; empty = sentinel).
+    # Pair layout [2, size, 2]: claim the row column with scatter-min, then
+    # scatter the winners' keys into the key column.
     u_keys = jnp.where(is_new, skeys, vk.INVALID_KEY)
     u_rows = jnp.where(is_new & (dest < cap), dest, cap)
-    size = vmap.hash_index.shape[-1]
+    size = vmap.hash_index.shape[-2]
     sentinel = jnp.int32(0x7FFFFFFF)
-    t1 = jnp.where(vmap.hash_index[0] < 0, sentinel, vmap.hash_index[0])
+    t1 = jnp.where(vmap.hash_index[0, :, 0] < 0, sentinel, vmap.hash_index[0, :, 0])
+    k1 = vmap.hash_index[0, :, 1]
     s1 = jnp.where(u_rows < cap, _hash_key(u_keys, 0, size), size)
     t1 = jnp.concatenate([t1, jnp.asarray([sentinel])]).at[s1].min(u_rows)[:size]
-    won1 = t1[jnp.minimum(s1, size - 1)] == u_rows
-    t2 = jnp.where(vmap.hash_index[1] < 0, sentinel, vmap.hash_index[1])
+    won1 = (t1[jnp.minimum(s1, size - 1)] == u_rows) & (u_rows < cap)
+    k1 = jnp.concatenate([k1, jnp.asarray([vk.INVALID_KEY])]).at[
+        jnp.where(won1, s1, size)
+    ].set(u_keys)[:size]
+    t2 = jnp.where(vmap.hash_index[1, :, 0] < 0, sentinel, vmap.hash_index[1, :, 0])
+    k2 = vmap.hash_index[1, :, 1]
     s2 = jnp.where((u_rows < cap) & ~won1, _hash_key(u_keys, 1, size), size)
     t2 = jnp.concatenate([t2, jnp.asarray([sentinel])]).at[s2].min(u_rows)[:size]
+    won2 = (t2[jnp.minimum(s2, size - 1)] == u_rows) & (u_rows < cap) & ~won1
+    k2 = jnp.concatenate([k2, jnp.asarray([vk.INVALID_KEY])]).at[
+        jnp.where(won2, s2, size)
+    ].set(u_keys)[:size]
     hash_index = jnp.stack(
-        [jnp.where(t1 == sentinel, -1, t1), jnp.where(t2 == sentinel, -1, t2)]
+        [
+            jnp.stack([jnp.where(t1 == sentinel, -1, t1), k1], axis=-1),
+            jnp.stack([jnp.where(t2 == sentinel, -1, t2), k2], axis=-1),
+        ]
     )
 
     out = GaussianVoxelMap(
