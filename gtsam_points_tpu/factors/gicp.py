@@ -62,6 +62,66 @@ class GICPFactor(MatchingFactorMixin):
 
         return residual_fn
 
+    def correspondences(self, poses: jax.Array):
+        """kNN correspondence + fused mahalanobis at `poses` (the expensive
+        search). -> (valid [N], q [3,N], W6 [6,N]) in planar layout — the
+        payload the reference caches between correspondence updates
+        (impl/integrated_gicp_factor_impl.hpp:151-296, FULL cache mode)."""
+        from gtsam_points_tpu.factors.base import factor_poses
+
+        T_t, T_s = factor_poses(self, poses)
+        delta = se3.se3_inverse(T_t) @ T_s
+        moved = se3.transform_points(delta, self.source.points)
+        idx, _, valid = knn_search(
+            self.grid,
+            moved,
+            self.source.mask,
+            k=1,
+            num_neighbor_cells=self.num_neighbor_cells,
+            max_points_per_cell=self.max_points_per_cell,
+            max_sq_dist=self.max_corr_dist**2,
+        )
+        corr = jnp.maximum(idx[:, 0], 0)
+        valid = valid[:, 0]
+        q = self.target.points[corr]
+        C_t = self.target.covs[corr]
+        R = delta[:3, :3]
+        fused = C_t + jnp.einsum("ij,njk,lk->nil", R, self.source.covs, R)
+        W = inv3x3(fused)
+        W6 = jnp.stack(
+            [W[:, 0, 0], W[:, 0, 1], W[:, 0, 2], W[:, 1, 1], W[:, 1, 2], W[:, 2, 2]]
+        )
+        return valid, q.T, W6
+
+    def linearize_corr(self, poses: jax.Array, corr):
+        """Analytic planar linearization on a frozen correspondence set (the
+        GICP residual r = delta·p - q is affine in the moved point, so it
+        shares the VGICP planar kernel; no kNN, no AD)."""
+        from gtsam_points_tpu.factors.base import factor_poses
+        from gtsam_points_tpu.ops import planar
+
+        valid, q_p, W6 = corr
+        pts_p = self.source.points.T
+        T_t, T_s = factor_poses(self, poses)
+        delta = se3.se3_inverse(T_t) @ T_s
+        pm = planar.transform(delta, pts_p)
+        lin = planar.linearize_point_system(pts_p, pm, pm - q_p, W6, valid, delta[:3, :3])
+
+        def err_fn(new_poses):
+            nT_t, nT_s = factor_poses(self, new_poses)
+            nd = se3.se3_inverse(nT_t) @ nT_s
+            npm = planar.transform(nd, pts_p)
+            return planar.weighted_error(npm - q_p, W6, valid)
+
+        return lin, err_fn
+
+    def linearize(self, poses: jax.Array):
+        lin, _ = self.linearize_corr(poses, self.correspondences(poses))
+        return lin
+
+    def linearize_with_error_fn(self, poses: jax.Array):
+        return self.linearize_corr(poses, self.correspondences(poses))
+
 
 def make_gicp_factor(
     target_key: int,

@@ -35,7 +35,7 @@ class ICPFactor(MatchingFactorMixin):
     num_neighbor_cells: int
     max_points_per_cell: int
 
-    def correspondences(self, delta: jax.Array):
+    def _search(self, delta: jax.Array):
         moved = se3.transform_points(delta, self.source.points)
         idx, sq, valid = knn_search(
             self.grid,
@@ -48,9 +48,45 @@ class ICPFactor(MatchingFactorMixin):
         )
         return idx[:, 0], valid[:, 0]
 
+    def correspondences(self, poses: jax.Array):
+        """1-NN search at `poses` -> (q [N,3], n [N,3]|None, valid [N]) — the
+        payload cached between correspondence updates (reference:
+        set_correspondence_update_tolerance, impl/integrated_icp_factor_impl.hpp:128-143)."""
+        from gtsam_points_tpu.factors.base import factor_poses
+
+        T_t, T_s = factor_poses(self, poses)
+        delta = se3.se3_inverse(T_t) @ T_s
+        corr, valid = self._search(delta)
+        q = self.target.points[jnp.maximum(corr, 0)]  # [N, 3]
+        n = self.target.normals[jnp.maximum(corr, 0)] if self.point_to_plane else None
+        return q, n, valid
+
+    def linearize_corr(self, poses: jax.Array, corr):
+        from gtsam_points_tpu.factors.base import factor_poses
+        from gtsam_points_tpu.factors.linearized import evaluate_error, linearize_residuals
+
+        q, n, valid = corr
+
+        def residual_fn(T_t_p, T_s_p):
+            d = se3.se3_inverse(T_t_p) @ T_s_p
+            moved = se3.transform_points(d, self.source.points)
+            r = moved - q
+            if self.point_to_plane:
+                r = jnp.sum(r * n, axis=-1, keepdims=True)  # [N, 1]
+            return r, None, valid
+
+        T_t, T_s = factor_poses(self, poses)
+        lin = linearize_residuals(residual_fn, T_t, T_s)
+
+        def err_fn(new_poses):
+            nT_t, nT_s = factor_poses(self, new_poses)
+            return evaluate_error(residual_fn, nT_t, nT_s)
+
+        return lin, err_fn
+
     def residual_closure(self, T_t: jax.Array, T_s: jax.Array):
         delta = se3.se3_inverse(T_t) @ T_s
-        corr, valid = self.correspondences(delta)
+        corr, valid = self._search(delta)
         q = self.target.points[jnp.maximum(corr, 0)]  # [N, 3]
         if self.point_to_plane:
             n = self.target.normals[jnp.maximum(corr, 0)]

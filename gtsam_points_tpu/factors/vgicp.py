@@ -45,11 +45,17 @@ class VGICPFactor(MatchingFactorMixin):
             covs6 = None
         return pts_p, covs6
 
-    def _planar_closure(self, T_t: jax.Array, T_s: jax.Array):
-        """-> (lin inputs + frozen error fn) in planar layout (ops/planar.py)."""
+    def correspondences(self, poses: jax.Array):
+        """Voxel lookup + fused mahalanobis weights at `poses` (the expensive
+        probe). -> (found [N], mu [3,N], W6 [6,N]) — the exact payload the
+        reference caches between correspondence updates (FULL fused-cov cache,
+        impl/integrated_gicp_factor_impl.hpp:151-296; inlier recompute gate,
+        cuda/kernels/integrated_vgicp_derivatives.cuh:30-34)."""
+        from gtsam_points_tpu.factors.base import factor_poses
         from gtsam_points_tpu.ops import planar
         from gtsam_points_tpu.ops.voxelmap import lookup_fetch_planar
 
+        T_t, T_s = factor_poses(self, poses)
         pts_p, covs6 = self._source_planar()
         delta = se3.se3_inverse(T_t) @ T_s
         pm = planar.transform(delta, pts_p)
@@ -61,22 +67,19 @@ class VGICPFactor(MatchingFactorMixin):
             eye6 = jnp.asarray([1.0, 0.0, 0.0, 1.0, 0.0, 1.0], C6.dtype) * 1e-3
             fused = C6 + eye6[:, None]
         W6 = planar.sym_inv(fused)
-        return pts_p, pm, mu, W6, found, delta
+        return found, mu, W6
 
-    def linearize(self, poses: jax.Array):
+    def linearize_corr(self, poses: jax.Array, corr):
+        """Analytic planar linearization on a frozen correspondence set —
+        only transform + residual + one MXU reduction; no probe."""
         from gtsam_points_tpu.factors.base import factor_poses
         from gtsam_points_tpu.ops import planar
 
+        found, mu, W6 = corr
+        pts_p, _ = self._source_planar()
         T_t, T_s = factor_poses(self, poses)
-        pts_p, pm, mu, W6, found, delta = self._planar_closure(T_t, T_s)
-        return planar.linearize_point_system(pts_p, pm, pm - mu, W6, found, delta[:3, :3])
-
-    def linearize_with_error_fn(self, poses: jax.Array):
-        from gtsam_points_tpu.factors.base import factor_poses
-        from gtsam_points_tpu.ops import planar
-
-        T_t, T_s = factor_poses(self, poses)
-        pts_p, pm, mu, W6, found, delta = self._planar_closure(T_t, T_s)
+        delta = se3.se3_inverse(T_t) @ T_s
+        pm = planar.transform(delta, pts_p)
         lin = planar.linearize_point_system(pts_p, pm, pm - mu, W6, found, delta[:3, :3])
 
         def err_fn(new_poses):
@@ -87,12 +90,22 @@ class VGICPFactor(MatchingFactorMixin):
 
         return lin, err_fn
 
+    def linearize(self, poses: jax.Array):
+        lin, _ = self.linearize_corr(poses, self.correspondences(poses))
+        return lin
+
+    def linearize_with_error_fn(self, poses: jax.Array):
+        return self.linearize_corr(poses, self.correspondences(poses))
+
     def error(self, poses: jax.Array):
         from gtsam_points_tpu.factors.base import factor_poses
         from gtsam_points_tpu.ops import planar
 
+        found, mu, W6 = self.correspondences(poses)
+        pts_p, _ = self._source_planar()
         T_t, T_s = factor_poses(self, poses)
-        _, pm, mu, W6, found, _ = self._planar_closure(T_t, T_s)
+        delta = se3.se3_inverse(T_t) @ T_s
+        pm = planar.transform(delta, pts_p)
         return planar.weighted_error(pm - mu, W6, found)
 
     def residual_closure(self, T_t: jax.Array, T_s: jax.Array):

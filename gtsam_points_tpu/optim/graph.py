@@ -39,18 +39,46 @@ class FactorGraph:
         A, b, err, _ = self.linearize_frozen(poses)
         return A, b, err
 
-    def linearize_frozen(self, poses: jax.Array):
+    def correspondences(self, poses: jax.Array):
+        """Per-factor correspondence caches at `poses` (None for factors
+        without a cacheable search). The LM optimizer re-runs this only when
+        the pose moved beyond the correspondence-update tolerance — the
+        reference's set_correspondence_update_tolerance / inlier-recompute
+        gate (impl/integrated_icp_factor_impl.hpp:128-143,
+        cuda/kernels/integrated_vgicp_derivatives.cuh:30-34)."""
+        return tuple(
+            f.correspondences(poses)
+            if hasattr(f, "correspondences") and hasattr(f, "linearize_corr")
+            else None
+            for f in self.factors
+        )
+
+    def linearize_frozen(self, poses: jax.Array, corr=None):
         """-> (A, b, error, frozen_error_fn). frozen_error_fn(poses') evaluates
         the graph error with every matching factor's correspondences/weights
         frozen at THIS linearization point (majorize-minimize surrogate);
-        smooth factors evaluate exactly."""
+        smooth factors evaluate exactly. `corr` (from correspondences())
+        short-circuits the per-factor search for factors that support it."""
         p = self.num_poses
         A = jnp.zeros((p, p, 6, 6), dtype=jnp.float32)
         b = jnp.zeros((p, 6), dtype=jnp.float32)
         err = jnp.float32(0.0)
         err_fns = []
-        for f in self.factors:
+        for fi, f in enumerate(self.factors):
             keys = f.keys
+            if corr is not None and corr[fi] is not None and hasattr(f, "linearize_corr"):
+                lin, efn = f.linearize_corr(poses, corr[fi])
+                err_fns.append(efn)
+                t, s = keys
+                if t >= 0:
+                    A = A.at[t, t].add(lin.H_tt)
+                    A = A.at[t, s].add(lin.H_ts)
+                    A = A.at[s, t].add(lin.H_ts.T)
+                    b = b.at[t].add(lin.b_t)
+                A = A.at[s, s].add(lin.H_ss)
+                b = b.at[s].add(lin.b_s)
+                err = err + lin.error
+                continue
             if hasattr(f, "add_to_system"):
                 A, b, errf, efn = f.add_to_system(A, b, poses)
                 err = err + errf

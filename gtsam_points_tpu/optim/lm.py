@@ -37,6 +37,15 @@ class LMParams:
     absolute_error_tol: float = 1e-5
     step_tol: float = 1e-4  # accepted-step norm below which we're converged
     diagonal_damping: bool = True
+    # Correspondence-update tolerance (reference:
+    # set_correspondence_update_tolerance, impl/integrated_icp_factor_impl.hpp:
+    # 128-143; GPU inlier recompute gate, integrated_vgicp_derivatives.cuh:
+    # 30-34): while no pose has moved more than this since the last
+    # correspondence search, matching factors reuse their cached
+    # correspondences/weights and each LM iteration skips the probe/kNN —
+    # typically >2x faster registration. 0.0 = search every iteration.
+    correspondence_update_tolerance_rot: float = 0.0
+    correspondence_update_tolerance_trans: float = 0.0
 
 
 class LMStatus(NamedTuple):
@@ -77,20 +86,40 @@ def optimize_lm(graph: FactorGraph, poses: jax.Array, params: Optional[LMParams]
 def _optimize_lm(graph: FactorGraph, poses: jax.Array, params: LMParams) -> LMResult:
     p = params
     max_it = p.max_iterations
+    use_corr_cache = (
+        p.correspondence_update_tolerance_rot > 0.0
+        or p.correspondence_update_tolerance_trans > 0.0
+    )
 
     def outer_cond(state):
-        poses, lam, err, it, done, status = state
+        poses, lam, err, it, done, status, corr, probe_poses, force_refresh = state
         return (it < max_it) & jnp.logical_not(done)
 
     def outer_body(state):
-        poses, lam, err0, it, done, status = state
-        # err_lin = error with FRESH correspondences at the linearization point;
+        poses, lam, err0, it, done, status, corr, probe_poses, force_refresh = state
+        # err_lin = error with correspondences at the linearization point;
         # frozen_error evaluates candidates on that same correspondence set so
         # the accept gate compares model and objective consistently even when
         # the inlier set churns between outer iterations (classic ICP
         # majorize-minimize; the reference gates on the churning error and
         # relies on small perturbations instead).
-        A, b, err_lin, frozen_error = graph.linearize_frozen(poses)
+        if use_corr_cache:
+            from gtsam_points_tpu.utils import se3
+
+            rot_d, trans_d = se3.pose_error(probe_poses, poses)
+            refreshed = (
+                (jnp.max(rot_d) > p.correspondence_update_tolerance_rot)
+                | (jnp.max(trans_d) > p.correspondence_update_tolerance_trans)
+                | force_refresh
+            )
+            corr = jax.lax.cond(
+                refreshed, lambda c: graph.correspondences(poses), lambda c: c, corr
+            )
+            probe_poses = jnp.where(refreshed, poses, probe_poses)
+        else:
+            refreshed = jnp.bool_(True)
+            corr = graph.correspondences(poses)
+        A, b, err_lin, frozen_error = graph.linearize_frozen(poses, corr)
 
         def inner_cond(s):
             _, lam, _, _, accepted, tries, _ = s
@@ -137,13 +166,21 @@ def _optimize_lm(graph: FactorGraph, poses: jax.Array, params: LMParams) -> LMRe
         )
         converged = accepted & ((step_norm < p.step_tol) | (small_err_change & (it > 0)))
         stuck = jnp.logical_not(accepted)
+        at_rest = converged | stuck
+        # Finishing on CACHED correspondences is premature: the surrogate may
+        # be at a fixed point while fresh correspondences would keep improving.
+        # Refresh and give LM another round; only a fresh-correspondence
+        # fixed point terminates (with tolerance disabled, refreshed == True
+        # and this reduces to the plain condition).
+        done_now = at_rest & refreshed
+        refresh_next = at_rest & jnp.logical_not(refreshed)
         status = LMStatus(
             error=status.error.at[it].set(err_lin),
             lambda_=status.lambda_.at[it].set(lam_n),
             inner_iterations=status.inner_iterations.at[it].set(tries),
             num_iterations=it + 1,
         )
-        return (poses_n, lam_n, err_lin, it + 1, converged | stuck, status)
+        return (poses_n, lam_n, err_lin, it + 1, done_now, status, corr, probe_poses, refresh_next)
 
     status0 = LMStatus(
         error=jnp.full((max_it,), jnp.inf, jnp.float32),
@@ -151,8 +188,23 @@ def _optimize_lm(graph: FactorGraph, poses: jax.Array, params: LMParams) -> LMRe
         inner_iterations=jnp.zeros((max_it,), jnp.int32),
         num_iterations=jnp.int32(0),
     )
-    init = (poses, jnp.float32(p.lambda_initial), jnp.float32(jnp.inf), jnp.int32(0), False, status0)
-    poses_f, lam_f, err_f, it_f, _, status_f = jax.lax.while_loop(outer_cond, outer_body, init)
+    # initial correspondences at the start point (iteration 0 reuses them:
+    # moved = 0 <= tolerance)
+    corr0 = graph.correspondences(poses)
+    init = (
+        poses,
+        jnp.float32(p.lambda_initial),
+        jnp.float32(jnp.inf),
+        jnp.int32(0),
+        False,
+        status0,
+        corr0,
+        poses,
+        jnp.bool_(False),
+    )
+    poses_f, lam_f, err_f, it_f, _, status_f, _, _, _ = jax.lax.while_loop(
+        outer_cond, outer_body, init
+    )
     return LMResult(poses=poses_f, error=err_f, status=status_f)
 
 

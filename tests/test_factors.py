@@ -189,3 +189,31 @@ def test_colored_gicp_converges():
     source = estimate_normals_covs(source, k=8, grid_leaf=1.0)
     factor = make_colored_gicp_factor(0, 1, target, source, max_corr_dist=2.0, photometric_weight=50.0)
     run_graph(factor, T_true, tol_rot=5e-3, tol_trans=3e-2)
+
+
+def test_correspondence_update_tolerance(scene):
+    """Movement-gated correspondence caching (reference:
+    set_correspondence_update_tolerance) converges to the same solution as
+    fresh-search LM for GICP, VGICP, and ICP."""
+    target, source, T_true = scene
+    lm_cached = LMParams(
+        max_iterations=20,
+        correspondence_update_tolerance_rot=0.02,
+        correspondence_update_tolerance_trans=0.05,
+    )
+    for make in (
+        lambda: make_gicp_factor(0, 1, target, source, max_corr_dist=2.0),
+        lambda: make_vgicp_factor(0, 1, target, source, voxel_resolution=0.5, min_voxel_points=3),
+        lambda: make_icp_factor(0, 1, target, source, max_corr_dist=2.0),
+    ):
+        graph = FactorGraph(num_poses=2)
+        graph.add(PriorFactor(prior=jnp.eye(4), weights=jnp.full((6,), 1e6), key=0))
+        graph.add(make())
+        poses = jnp.stack([jnp.eye(4), jnp.eye(4)])
+        res_fresh = jax.jit(lambda p: optimize_lm(graph, p, LMParams(max_iterations=20)))(poses)
+        res_cached = jax.jit(lambda p: optimize_lm(graph, p, lm_cached))(poses)
+        rot_f, trans_f = se3.pose_error(T_true, res_fresh.poses[1])
+        rot_c, trans_c = se3.pose_error(T_true, res_cached.poses[1])
+        # cached path must match the fresh path's accuracy class
+        assert float(rot_c) < max(2.0 * float(rot_f), 5e-2), (float(rot_c), float(rot_f))
+        assert float(trans_c) < max(2.0 * float(trans_f), 1e-1), (float(trans_c), float(trans_f))
