@@ -1,0 +1,156 @@
+"""Multi-device scaling-efficiency harness (BASELINE.json: ">=80% efficiency
+at 2 hosts", measured at 1 / 2 / N devices).
+
+Measures the distributed hot op — fused linearize-all of a batched VGICP
+factor graph with the [6P,6P] block system psum-reduced across the mesh
+(parallel/distributed.py) — at every power-of-two device count available,
+and reports strong-scaling efficiency  eff(n) = T(1) / (n * T(n)).
+
+On this dev box there is ONE real TPU chip, so by default the harness runs on
+the virtual CPU mesh (8 devices via xla_force_host_platform_device_count),
+which exercises the identical sharding + collective program XLA would emit on
+a pod slice. NOTE: virtual CPU devices share one host thread pool, so
+wall-clock is flat across device counts there — the CPU run validates the
+distributed program (and that sharding adds no overhead), it does not measure
+speedup. On real multi-chip hardware (`--tpu`), the same script measures ICI
+strong scaling and reports eff(n).
+
+Prints one JSON line per device count:
+  {"metric": "factor_linearize_n{N}dev_ms", ...} always, plus
+  {"metric": "factor_linearize_scaling_eff_n{N}", ...} on real multi-device.
+"""
+
+import json
+import os
+import sys
+import time
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np
+
+
+def build_problem(num_factors: int, points_per_scan: int):
+    import jax.numpy as jnp
+
+    from gtsam_points_tpu.factors.batch import make_vgicp_factor_batch
+    from gtsam_points_tpu.ops.voxelmap import build_voxelmap
+    from gtsam_points_tpu.types.frame import make_frame
+    from gtsam_points_tpu.utils import se3
+
+    rng = np.random.RandomState(0)
+    pts = []
+    for ax in range(3):
+        p = rng.rand(points_per_scan // 3, 3).astype(np.float32) * 20 - 10
+        p[:, ax] = np.sign(p[:, ax]) * 10 + rng.randn(points_per_scan // 3).astype(np.float32) * 0.05
+        pts.append(p)
+    pts = np.concatenate(pts)
+    target = make_frame(pts, capacity=points_per_scan)
+    vmap = build_voxelmap(target, leaf=1.0, capacity=points_per_scan)
+
+    vmaps, sources, t_keys, s_keys = [], [], [], []
+    for i in range(num_factors):
+        xi = jnp.asarray(rng.randn(6).astype(np.float32) * 0.05)
+        T = se3.se3_exp(xi)
+        src = np.asarray(se3.transform_points(se3.se3_inverse(T), jnp.asarray(pts)))
+        vmaps.append(vmap)
+        sources.append(make_frame(src, capacity=points_per_scan))
+        t_keys.append(-1)
+        s_keys.append(i)
+    batch = make_vgicp_factor_batch(vmaps, sources, t_keys, s_keys, min_voxel_points=3.0)
+    return batch, num_factors
+
+
+def main():
+    import jax
+
+    if "--tpu" not in sys.argv:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_bench")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+    import jax.numpy as jnp
+
+    import gtsam_points_tpu  # noqa: F401  (pins matmul precision)
+    from gtsam_points_tpu.optim import FactorGraph
+    from gtsam_points_tpu.parallel import make_mesh
+    from gtsam_points_tpu.parallel.distributed import shard_factor_batch
+
+    n_avail = len(jax.devices())
+    num_factors = 16
+    points = 6144
+    batch, P = build_problem(num_factors, points)
+
+    def bench(n_dev: int) -> float:
+        mesh = make_mesh(n_dev, axis="factor")
+        sharded = shard_factor_batch(batch, mesh, axis="factor")
+        graph = FactorGraph(num_poses=P)
+        graph.add(sharded)
+        poses0 = jnp.broadcast_to(jnp.eye(4), (P, 4, 4))
+        reps = 10
+
+        @jax.jit
+        def loop(poses):
+            def body(i, carry):
+                poses, acc = carry
+                A, b, err = graph.linearize_full(poses)
+                poses = poses + 1e-12 * b.reshape(P, 6)[:, :1, None] * 0
+                return (poses, acc + err + jnp.sum(A) * 1e-30)
+
+            return jax.lax.fori_loop(0, reps, body, (poses, jnp.float32(0.0)))
+
+        out = loop(poses0)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        out = loop(poses0)
+        jax.block_until_ready(out)
+        return (time.perf_counter() - t0) / reps * 1000.0
+
+    real_multidevice = jax.devices()[0].platform != "cpu" and n_avail > 1
+    counts = [n for n in (1, 2, 4, 8, 16) if n <= n_avail and num_factors % n == 0]
+    t1 = None
+    for n in counts:
+        ms = bench(n)
+        if t1 is None:
+            t1 = ms
+        print(
+            json.dumps(
+                {
+                    "metric": f"factor_linearize_n{n}dev_ms",
+                    "value": round(ms, 4),
+                    "unit": "ms",
+                    "devices": n,
+                }
+            ),
+            flush=True,
+        )
+        if real_multidevice and n > 1:
+            print(
+                json.dumps(
+                    {
+                        "metric": f"factor_linearize_scaling_eff_n{n}",
+                        "value": round(t1 / (n * ms), 4),
+                        "unit": "x",
+                        "devices": n,
+                    }
+                ),
+                flush=True,
+            )
+    if not real_multidevice:
+        print(
+            json.dumps(
+                {
+                    "metric": "scaling_note",
+                    "value": 1,
+                    "unit": "collective program validated on virtual CPU mesh; "
+                    "run with --tpu on a multi-chip slice for ICI efficiency",
+                }
+            ),
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -110,6 +110,115 @@ def main():
     ms = (time.perf_counter() - t0) / 10 * 1000
     emit("odometry_step_ms_per_scan", ms, "ms", baseline=30.0)
 
+    # --- config 4: FPFH + RANSAC/GNC global registration (no initial guess) ---
+    from gtsam_points_tpu.registration import (
+        GNCParams,
+        RANSACParams,
+        estimate_fpfh,
+        estimate_pose_gnc,
+        estimate_pose_ransac,
+    )
+
+    feats_fn = jax.jit(estimate_fpfh)
+    f_t = feats_fn(target)
+    f_s = feats_fn(source)
+    jax.block_until_ready(f_s)
+    t0 = time.perf_counter()
+    for _ in range(10):
+        f_s = feats_fn(source)
+    jax.block_until_ready(f_s)
+    emit("fpfh_ms_per_scan", (time.perf_counter() - t0) / 10 * 1000, "ms")
+
+    ransac_fn = jax.jit(
+        lambda: estimate_pose_ransac(target, source, f_t, f_s, RANSACParams(max_iterations=4096))
+    )
+    res = ransac_fn()
+    jax.block_until_ready(res.T_target_source)
+    t0 = time.perf_counter()
+    for _ in range(10):
+        res = ransac_fn()
+    jax.block_until_ready(res.T_target_source)
+    emit("ransac_4096hyp_ms", (time.perf_counter() - t0) / 10 * 1000, "ms")
+
+    gnc_fn = jax.jit(lambda: estimate_pose_gnc(target, source, f_t, f_s, GNCParams()))
+    res = gnc_fn()
+    jax.block_until_ready(res.T_target_source)
+    t0 = time.perf_counter()
+    for _ in range(10):
+        res = gnc_fn()
+    jax.block_until_ready(res.T_target_source)
+    emit("gnc_ms", (time.perf_counter() - t0) / 10 * 1000, "ms")
+
+    # --- config 5 (single-chip): kitti_07 5-submap SLAM = odometry + FPFH/GNC
+    # loop closure + batched pose-graph refinement (examples/kitti07_slam.py
+    # runs the same pipeline with reporting; bench_scaling.py shards it) ---
+    import numpy as np
+
+    from gtsam_points_tpu.factors import BetweenFactor, PriorFactor, make_gicp_factor
+
+    gt = io.load_graph("/root/reference/data/kitti_07_dump/graph.txt")
+    T_gt = np.asarray(se3.pose_from_xyzq(jnp.asarray(gt)))
+    frames = []
+    for i in range(5):
+        pts = io.read_points(f"/root/reference/data/kitti_07_dump/{i:06d}/points.bin")
+        frames.append(preprocess_fast(make_frame(pts, capacity=cap)))
+    jax.block_until_ready(frames[-1].points)
+
+    # per-step pose predictions: GT + noise (the reference protocol,
+    # test_matching_cost_factors.cpp:42-61 — the submaps are ~15 m apart,
+    # far outside any identity-init basin; a real stream would use the
+    # constant-velocity prediction the odometry pipeline provides)
+    rng5 = np.random.RandomState(42)
+    preds = [
+        jnp.asarray(np.linalg.inv(T_gt[i - 1]) @ T_gt[i] @ np.asarray(
+            se3.se3_exp(jnp.asarray(rng5.uniform(-0.1, 0.1, 6).astype(np.float32)))
+        ))
+        for i in range(1, 5)
+    ]
+    ft0, ft4 = feats_fn(frames[0]), feats_fn(frames[4])
+    gnc_lc = jax.jit(lambda: estimate_pose_gnc(frames[0], frames[4], ft0, ft4, GNCParams()))
+
+    graph5 = FactorGraph(num_poses=5)
+    graph5.add(PriorFactor(prior=jnp.eye(4), weights=jnp.full((6,), 1e6), key=0))
+    for i in range(4):
+        graph5.add(make_gicp_factor(i, i + 1, frames[i], frames[i + 1], max_corr_dist=2.0, grid_leaf=1.0))
+    graph5.add(make_gicp_factor(0, 4, frames[0], frames[4], max_corr_dist=2.0, grid_leaf=1.0))
+    pg_fn = jax.jit(lambda p: optimize_lm(graph5, p, LMParams(max_iterations=10)))
+
+    def slam_once():
+        params5 = OdometryParams(
+            voxel_resolution=1.0, map_capacity=131072, min_voxel_points=4.0,
+            max_iterations=10, keyframe_trans=0.1, keyframe_rot=0.05,
+        )
+        st = init_odometry(frames[0], params5)
+        poses = [jnp.eye(4)]
+        for f, pred in zip(frames[1:], preds):
+            st, T, _ = odometry_step(st, f, params5, pred)
+            poses.append(T)
+        lc = gnc_lc()
+        res = pg_fn(jnp.stack(poses))
+        return res.poses
+
+    out = slam_once()
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    reps5 = 5
+    for _ in range(reps5):
+        out = slam_once()
+    jax.block_until_ready(out)
+    ms_total = (time.perf_counter() - t0) / reps5 * 1000
+    emit("slam_pipeline_ms_per_scan", ms_total / 5, "ms", baseline=30.0)
+    # accuracy vs bundled GT (gauge-aligned at pose 0)
+    T0 = np.asarray(out[0])
+    rel_est = [np.linalg.inv(T0) @ np.asarray(out[i]) for i in range(5)]
+    rel_gt = [np.linalg.inv(T_gt[0]) @ T_gt[i] for i in range(5)]
+    errs = [
+        se3.pose_error(jnp.asarray(a, dtype=jnp.float32), jnp.asarray(b, dtype=jnp.float32))
+        for a, b in zip(rel_gt, rel_est)
+    ]
+    emit("slam_pipeline_max_trans_err", float(max(float(t) for _, t in errs)), "m")
+    emit("slam_pipeline_max_rot_err", float(max(float(r) for r, _ in errs)), "rad")
+
 
 if __name__ == "__main__":
     main()

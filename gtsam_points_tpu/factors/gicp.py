@@ -94,24 +94,23 @@ class GICPFactor(MatchingFactorMixin):
         return valid, q.T, W6
 
     def linearize_corr(self, poses: jax.Array, corr):
-        """Analytic planar linearization on a frozen correspondence set (the
-        GICP residual r = delta·p - q is affine in the moved point, so it
-        shares the VGICP planar kernel; no kNN, no AD)."""
+        """Analytic linearization on a frozen correspondence set (the GICP
+        residual r = delta·p - q is affine in the moved point, so it shares
+        the VGICP fused kernel — Pallas on TPU, planar XLA elsewhere; no kNN,
+        no AD)."""
         from gtsam_points_tpu.factors.base import factor_poses
-        from gtsam_points_tpu.ops import planar
+        from gtsam_points_tpu.ops.pallas_linearize import error_fused, linearize_fused
 
         valid, q_p, W6 = corr
         pts_p = self.source.points.T
         T_t, T_s = factor_poses(self, poses)
         delta = se3.se3_inverse(T_t) @ T_s
-        pm = planar.transform(delta, pts_p)
-        lin = planar.linearize_point_system(pts_p, pm, pm - q_p, W6, valid, delta[:3, :3])
+        lin = linearize_fused(pts_p, q_p, W6, valid, delta)
 
         def err_fn(new_poses):
             nT_t, nT_s = factor_poses(self, new_poses)
             nd = se3.se3_inverse(nT_t) @ nT_s
-            npm = planar.transform(nd, pts_p)
-            return planar.weighted_error(npm - q_p, W6, valid)
+            return error_fused(pts_p, q_p, W6, valid, nd)
 
         return lin, err_fn
 

@@ -70,23 +70,22 @@ class VGICPFactor(MatchingFactorMixin):
         return found, mu, W6
 
     def linearize_corr(self, poses: jax.Array, corr):
-        """Analytic planar linearization on a frozen correspondence set —
-        only transform + residual + one MXU reduction; no probe."""
+        """Analytic linearization on a frozen correspondence set — one fused
+        Pallas kernel on TPU (ops/pallas_linearize.py), planar XLA elsewhere;
+        no probe."""
         from gtsam_points_tpu.factors.base import factor_poses
-        from gtsam_points_tpu.ops import planar
+        from gtsam_points_tpu.ops.pallas_linearize import error_fused, linearize_fused
 
         found, mu, W6 = corr
         pts_p, _ = self._source_planar()
         T_t, T_s = factor_poses(self, poses)
         delta = se3.se3_inverse(T_t) @ T_s
-        pm = planar.transform(delta, pts_p)
-        lin = planar.linearize_point_system(pts_p, pm, pm - mu, W6, found, delta[:3, :3])
+        lin = linearize_fused(pts_p, mu, W6, found, delta)
 
         def err_fn(new_poses):
             nT_t, nT_s = factor_poses(self, new_poses)
             nd = se3.se3_inverse(nT_t) @ nT_s
-            npm = planar.transform(nd, pts_p)
-            return planar.weighted_error(npm - mu, W6, found)
+            return error_fused(pts_p, mu, W6, found, nd)
 
         return lin, err_fn
 

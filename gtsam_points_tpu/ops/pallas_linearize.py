@@ -1,0 +1,271 @@
+"""Pallas TPU kernels for the per-iteration hot path of matching-cost factors.
+
+Given a FROZEN correspondence payload (mu [3,N] targets, W6 [6,N] symmetric
+weights, mask [N]) and the current relative pose `delta`, every LM iteration
+needs (a) the Gauss-Newton block system and (b) candidate-error evaluations.
+In pure XLA these materialize the [12,3,N] Jacobian planes and their weighted
+copies in HBM (~15 MB of traffic per call at N=25k). These kernels fuse the
+SE3 transform, residual, weighting, Jacobian construction, and the block
+reduction into one VMEM-resident pass per tile: the only HBM traffic is the
+~15 f32/point input read, and the reduction runs as [16,T]x[T,16] MXU
+contractions accumulated in a VMEM scratch.
+
+This is the TPU analogue of the reference's fused transform-iterator + cub
+reduction (src/gtsam_points/cuda/integrated_vgicp_derivatives_linearize.cu:
+24-57, cuda/kernels/vgicp_derivatives.cuh:16-87): one launch per iteration,
+per-point work never leaves on-chip memory.
+
+Jacobian convention (right perturbation, matches ops/planar.py):
+  J_t = [skew(pm) | -I],  J_s = [-R·skew(p) | R],  r = pm - mu,  pm = R p + t.
+
+H/b/err come out of ONE matmul per residual dim by appending the residual as
+a 13th row: M = [J_rows(12); r], H13 = sum_d M_d (Wm M)_dᵀ, so H = H13[:12,:12],
+-b = H13[:12,12], err = H13[12,12]. The inlier count is accumulated into the
+unused pad cell H13[13,13].
+
+The public entry points fall back to the pure-XLA planar path off-TPU
+(tests run on CPU), selected at trace time from the default backend.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from gtsam_points_tpu.factors.linearized import Linearized
+
+_TILE = 2048  # lanes per grid step (~16 rows x 2048 lanes x 6 arrays ~ 640 KB VMEM)
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:
+        return False
+
+
+def _mask_tile(m, pid, n_valid, tile):
+    """Zero out lanes beyond the true point count (the padded tail of the
+    last tile reads uninitialized memory — everything is gated on this)."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, tile), 1) + pid * tile
+    return jnp.where(lane < n_valid, m, 0.0)
+
+
+def _load_planar(p_ref, mu_ref, w_ref, m_ref, pid, n, tile):
+    m = _mask_tile(m_ref[:], pid, n, tile)  # [1, T]
+    ok = m > 0.0
+    p = jnp.where(ok, p_ref[:], 0.0)  # [3, T]
+    mu = jnp.where(ok, mu_ref[:], 0.0)
+    w = jnp.where(ok, w_ref[:], 0.0)  # [6, T]
+    return p, mu, w, m
+
+
+def _transform(d_ref, p):
+    """pm = R p + t with R,t scalars from the prefetched delta row; [3,T]."""
+    rows = []
+    for i in range(3):
+        rows.append(
+            d_ref[0, 4 * i + 0] * p[0:1]
+            + d_ref[0, 4 * i + 1] * p[1:2]
+            + d_ref[0, 4 * i + 2] * p[2:3]
+            + d_ref[0, 4 * i + 3]
+        )
+    return jnp.concatenate(rows, axis=0)
+
+
+def _sym_mul_rows(w, v0, v1, v2):
+    """Symmetric planar W6 [6,T] times per-dim row blocks ([K,T] each)."""
+    xx, xy, xz, yy, yz, zz = (w[i : i + 1] for i in range(6))
+    return (
+        xx * v0 + xy * v1 + xz * v2,
+        xy * v0 + yy * v1 + yz * v2,
+        xz * v0 + yz * v1 + zz * v2,
+    )
+
+
+def _linearize_kernel(d_ref, p_ref, mu_ref, w_ref, m_ref, out_ref, acc_ref, *, n: int, tile: int):
+    import jax.lax as lax
+    from jax.experimental import pallas as pl
+
+    pid = pl.program_id(0)
+
+    @pl.when(pid == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    p, mu, w, m = _load_planar(p_ref, mu_ref, w_ref, m_ref, pid, n, tile)
+    pm = _transform(d_ref, p)
+    r = pm - mu
+    wm = w * m  # weights carry the mask
+    z = jnp.zeros((1, tile), jnp.float32)
+    one = jnp.ones((1, tile), jnp.float32)
+
+    # M_d [16, T] for each residual dim d: 12 Jacobian rows + r_d + 3 pad.
+    # Row k of M_d = J[:, d, k] (J columns as planar planes):
+    #   k 0..2  skew(pm) cols, k 3..5 -I cols, k 6..8 -R skew(p) cols, k 9..11 R cols
+    R = [[d_ref[0, 4 * i + j] for j in range(3)] for i in range(3)]
+    pmr = [pm[i : i + 1] for i in range(3)]
+    pr = [p[i : i + 1] for i in range(3)]
+    sk = ((z, pr[2], -pr[1]), (-pr[2], z, pr[0]), (pr[1], -pr[0], z))  # skew(p) cols
+    spm = ((z, pmr[2], -pmr[1]), (-pmr[2], z, pmr[0]), (pmr[1], -pmr[0], z))
+
+    def neg_R_skew(col, d):  # (-R @ skew(p)_col)[d]
+        c = sk[col]
+        return -(R[d][0] * c[0] + R[d][1] * c[1] + R[d][2] * c[2])
+
+    M = []
+    for d in range(3):
+        rows = [spm[0][d], spm[1][d], spm[2][d]]
+        rows += [-one if d == 0 else z, -one if d == 1 else z, -one if d == 2 else z]
+        rows += [neg_R_skew(0, d), neg_R_skew(1, d), neg_R_skew(2, d)]
+        rows += [R[d][0] * one, R[d][1] * one, R[d][2] * one]
+        rows += [r[d : d + 1], z, z, z]
+        M.append(jnp.concatenate(rows, axis=0))  # [16, T]
+
+    # WM_d = sum_e W[d,e] M_e (symmetric weight couples residual dims)
+    WM0, WM1, WM2 = _sym_mul_rows(wm, M[0], M[1], M[2])
+    H16 = (
+        lax.dot_general(M[0], WM0, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        + lax.dot_general(M[1], WM1, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        + lax.dot_general(M[2], WM2, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    )  # [16, 16]
+    # inlier count into the unused pad cell [13, 13]
+    row = jax.lax.broadcasted_iota(jnp.int32, (16, 16), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (16, 16), 1)
+    H16 = H16 + jnp.where((row == 13) & (col == 13), jnp.sum(m), 0.0)
+    acc_ref[:] += jnp.pad(H16, ((0, 0), (0, 112)))
+
+    @pl.when(pid == pl.num_programs(0) - 1)
+    def _():
+        out_ref[:] = acc_ref[:]
+
+
+def _error_kernel(d_ref, p_ref, mu_ref, w_ref, m_ref, out_ref, acc_ref, *, n: int, tile: int):
+    from jax.experimental import pallas as pl
+
+    pid = pl.program_id(0)
+
+    @pl.when(pid == 0)
+    def _():
+        acc_ref[0, 0] = 0.0
+
+    p, mu, w, m = _load_planar(p_ref, mu_ref, w_ref, m_ref, pid, n, tile)
+    pm = _transform(d_ref, p)
+    r = pm - mu
+    wm = w * m
+    r0, r1, r2 = r[0:1], r[1:2], r[2:3]
+    wr0, wr1, wr2 = _sym_mul_rows(wm, r0, r1, r2)
+    acc_ref[0, 0] += jnp.sum(wr0 * r0 + wr1 * r1 + wr2 * r2)
+
+    @pl.when(pid == pl.num_programs(0) - 1)
+    def _():
+        out_ref[0, 0] = acc_ref[0, 0]
+
+
+def _pad_lanes(x, n_pad):
+    if x.shape[-1] == n_pad:
+        return x
+    return jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, n_pad - x.shape[-1])])
+
+
+def _specs(tile):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    return [
+        pl.BlockSpec((1, 16), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((3, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((3, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((6, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+    ]
+
+
+@jax.jit
+def _linearize_call(delta_row, p_src, mu, W6, mask_f):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n = p_src.shape[-1]
+    tile = min(_TILE, max(512, n))
+    n_pad = -(-n // tile) * tile
+    grid = n_pad // tile
+
+    return pl.pallas_call(
+        functools.partial(_linearize_kernel, n=n, tile=tile),
+        grid=(grid,),
+        in_specs=_specs(tile),
+        out_specs=pl.BlockSpec((16, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((16, 128), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((16, 128), jnp.float32)],
+    )(
+        delta_row,
+        _pad_lanes(p_src, n_pad),
+        _pad_lanes(mu, n_pad),
+        _pad_lanes(W6, n_pad),
+        _pad_lanes(mask_f[None, :], n_pad),
+    )
+
+
+def linearize_fused(p_src, mu, W6, mask, delta) -> Linearized:
+    """Fused (transform + residual + weight + Jacobian + reduce) on TPU;
+    falls back to the XLA planar path elsewhere. Inputs are planar:
+    p_src/mu [3, N], W6 [6, N], mask [N] bool, delta [4, 4]."""
+    if not _on_tpu():
+        from gtsam_points_tpu.ops import planar
+
+        pm = planar.transform(delta, p_src)
+        return planar.linearize_point_system(p_src, pm, pm - mu, W6, mask, delta[:3, :3])
+
+    out = _linearize_call(delta.reshape(1, 16), p_src, mu, W6, mask.astype(jnp.float32))
+    H = out[:12, :12]
+    b = -out[:12, 12]
+    return Linearized(
+        H_tt=H[:6, :6],
+        H_ss=H[6:, 6:],
+        H_ts=H[:6, 6:],
+        b_t=b[:6],
+        b_s=b[6:],
+        error=out[12, 12],
+        num_inliers=out[13, 13].astype(jnp.int32),
+    )
+
+
+@jax.jit
+def _error_call(delta_row, p_src, mu, W6, mask_f):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n = p_src.shape[-1]
+    tile = min(_TILE, max(512, n))
+    n_pad = -(-n // tile) * tile
+    grid = n_pad // tile
+
+    out = pl.pallas_call(
+        functools.partial(_error_kernel, n=n, tile=tile),
+        grid=(grid,),
+        in_specs=_specs(tile),
+        out_specs=pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        scratch_shapes=[pltpu.SMEM((1, 1), jnp.float32)],
+    )(
+        delta_row,
+        _pad_lanes(p_src, n_pad),
+        _pad_lanes(mu, n_pad),
+        _pad_lanes(W6, n_pad),
+        _pad_lanes(mask_f[None, :], n_pad),
+    )
+    return out[0, 0]
+
+
+def error_fused(p_src, mu, W6, mask, delta) -> jax.Array:
+    """Fused frozen-correspondence error sum rᵀWr on TPU; XLA planar fallback."""
+    if not _on_tpu():
+        from gtsam_points_tpu.ops import planar
+
+        pm = planar.transform(delta, p_src)
+        return planar.weighted_error(pm - mu, W6, mask)
+
+    return _error_call(delta.reshape(1, 16), p_src, mu, W6, mask.astype(jnp.float32))
