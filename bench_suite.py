@@ -183,7 +183,19 @@ def main():
     for i in range(4):
         graph5.add(make_gicp_factor(i, i + 1, frames[i], frames[i + 1], max_corr_dist=2.0, grid_leaf=1.0))
     graph5.add(make_gicp_factor(0, 4, frames[0], frames[4], max_corr_dist=2.0, grid_leaf=1.0))
-    pg_fn = jax.jit(lambda p: optimize_lm(graph5, p, LMParams(max_iterations=10)))
+    # pose-graph refinement starts near the optimum (odometry output), so the
+    # movement-gated correspondence cache skips most kNN probes
+    pg_fn = jax.jit(
+        lambda p: optimize_lm(
+            graph5,
+            p,
+            LMParams(
+                max_iterations=10,
+                correspondence_update_tolerance_rot=0.02,
+                correspondence_update_tolerance_trans=0.1,
+            ),
+        )
+    )
 
     def slam_once():
         params5 = OdometryParams(

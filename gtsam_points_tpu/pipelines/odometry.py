@@ -54,9 +54,16 @@ class OdometryParams:
     lm: Optional[LMParams] = None
 
 
+@partial(jax.jit, static_argnums=(1, 2))
+def _init_map(first_frame: Frame, voxel_resolution: float, map_capacity: int) -> GaussianVoxelMap:
+    vmap = empty_voxelmap(voxel_resolution, map_capacity)
+    return insert_frame(vmap, first_frame)
+
+
 def init_odometry(first_frame: Frame, params: OdometryParams) -> OdometryState:
-    vmap = empty_voxelmap(params.voxel_resolution, params.map_capacity)
-    vmap = insert_frame(vmap, first_frame)
+    # jitted as one program: eager insert_frame on the remote-TPU path costs
+    # hundreds of ms of per-op dispatch round-trips
+    vmap = _init_map(first_frame, params.voxel_resolution, params.map_capacity)
     eye = jnp.eye(4, dtype=jnp.float32)
     return OdometryState(vmap=vmap, T_world=eye, T_delta=eye, num_frames=jnp.int32(1))
 
