@@ -62,25 +62,35 @@ class ICPFactor(MatchingFactorMixin):
         return q, n, valid
 
     def linearize_corr(self, poses: jax.Array, corr):
+        """Analytic linearization on a frozen correspondence set via the fused
+        kernel (Pallas on TPU, planar XLA elsewhere): point-to-point is the
+        W=I case, point-to-plane the W=nnᵀ rank-1 case of the same weighted
+        form rᵀWr, r = delta·p - q."""
         from gtsam_points_tpu.factors.base import factor_poses
-        from gtsam_points_tpu.factors.linearized import evaluate_error, linearize_residuals
+        from gtsam_points_tpu.ops.pallas_linearize import error_fused, linearize_fused
 
         q, n, valid = corr
-
-        def residual_fn(T_t_p, T_s_p):
-            d = se3.se3_inverse(T_t_p) @ T_s_p
-            moved = se3.transform_points(d, self.source.points)
-            r = moved - q
-            if self.point_to_plane:
-                r = jnp.sum(r * n, axis=-1, keepdims=True)  # [N, 1]
-            return r, None, valid
-
+        N = q.shape[0]
+        if self.point_to_plane:
+            np_ = n.T  # [3, N]
+            W6 = jnp.stack(
+                [np_[0] * np_[0], np_[0] * np_[1], np_[0] * np_[2],
+                 np_[1] * np_[1], np_[1] * np_[2], np_[2] * np_[2]]
+            )
+        else:
+            one = jnp.ones((N,), jnp.float32)
+            zero = jnp.zeros((N,), jnp.float32)
+            W6 = jnp.stack([one, zero, zero, one, zero, one])
+        pts_p = self.source.points.T
+        q_p = q.T
         T_t, T_s = factor_poses(self, poses)
-        lin = linearize_residuals(residual_fn, T_t, T_s)
+        delta = se3.se3_inverse(T_t) @ T_s
+        lin = linearize_fused(pts_p, q_p, W6, valid, delta)
 
         def err_fn(new_poses):
             nT_t, nT_s = factor_poses(self, new_poses)
-            return evaluate_error(residual_fn, nT_t, nT_s)
+            nd = se3.se3_inverse(nT_t) @ nT_s
+            return error_fused(pts_p, q_p, W6, valid, nd)
 
         return lin, err_fn
 

@@ -66,8 +66,14 @@ class FactorGraph:
         err_fns = []
         for fi, f in enumerate(self.factors):
             keys = f.keys
-            if corr is not None and corr[fi] is not None and hasattr(f, "linearize_corr"):
-                lin, efn = f.linearize_corr(poses, corr[fi])
+            # Factors with a separable probe always linearize analytically on
+            # the correspondence payload (Pallas-fused on TPU) — when no cache
+            # is supplied the probe runs fresh at this linearization point.
+            fcorr = None
+            if hasattr(f, "correspondences") and hasattr(f, "linearize_corr"):
+                fcorr = corr[fi] if corr is not None and corr[fi] is not None else f.correspondences(poses)
+            if fcorr is not None:
+                lin, efn = f.linearize_corr(poses, fcorr)
                 err_fns.append(efn)
                 t, s = keys
                 if t >= 0:
