@@ -37,6 +37,12 @@ class HashGrid(NamedTuple):
     cell_points:   [C, J, 3] per-cell point tile (inf padded)
     cell_pt_index: [C, J] original index of each tile slot (-1 padded)
     cell_count:    [C] int32 number of points in the cell (may exceed J)
+    cell_records:  [C, J*4] packed (x, y, z, float(orig_index)) per slot —
+                   ONE aligned 16-byte-record gather serves both the point and
+                   its index (two separate gathers cost ~2x; measured on-chip).
+                   The index rides as a float VALUE (exact to 2^24), not a
+                   bitcast: small-int bit patterns are denormals, which the
+                   TPU VPU flushes to zero. inf/-1 padded.
     num_cells:     () int32
     hash_index:    [2, size, 2] int32 double-hash (row, key) pair index over cell_keys
     neighbor_rows: [C, 27] int32 precomputed rows of each cell's 27-neighborhood
@@ -50,6 +56,7 @@ class HashGrid(NamedTuple):
     cell_points: jax.Array
     cell_pt_index: jax.Array
     cell_count: jax.Array
+    cell_records: jax.Array
     num_cells: jax.Array
     hash_index: jax.Array
     neighbor_rows: jax.Array
@@ -108,6 +115,9 @@ def build_hash_grid(
     cell_pt_index = (
         jnp.full((cap * J + 1,), -1, dtype=jnp.int32).at[dest].set(sindex)[: cap * J]
     ).reshape(cap, J)
+    rec_src = jnp.concatenate([spoints, sindex.astype(jnp.float32)[:, None]], axis=-1)
+    rec_init = jnp.full((cap * J + 1, 4), jnp.inf, dtype=jnp.float32).at[:, 3].set(-1.0)
+    cell_records = rec_init.at[dest].set(rec_src)[: cap * J].reshape(cap, J * 4)
 
     hash_index = build_hash_index(cell_keys)
     # per-cell 27-neighborhood rows (one-time probe fan-out, amortized over
@@ -125,6 +135,7 @@ def build_hash_grid(
         cell_points=cell_points,
         cell_pt_index=cell_pt_index,
         cell_count=cell_count,
+        cell_records=cell_records,
         num_cells=num_cells,
         hash_index=hash_index,
         neighbor_rows=neighbor_rows,
@@ -175,10 +186,35 @@ def knn_search(
         cell_idx, found = lookup_cells(grid, nb_keys)  # [Q, O]
         rows = jnp.where(found, cell_idx, grid.cell_capacity - 1)
 
-    cand_pts = grid.cell_points[rows]  # [Q, O, J, 3] (wide-row gather)
-    cand_idx = grid.cell_pt_index[rows]  # [Q, O, J]
     q, o = rows.shape
     jj = grid.points_per_cell
+
+    if k == 1:
+        # 1-NN fast path (every correspondence probe): ONE packed-record
+        # gather, strided-lane distances, min/where index extraction — no
+        # top_k, no take_along_axis (a per-row 1-element gather costs more
+        # than the whole search). ~1.8x the generic path at 16k queries.
+        rec = grid.cell_records[rows]  # [Q, O, J*4]
+        q4 = jnp.concatenate([queries, jnp.zeros((q, 1), queries.dtype)], axis=-1)
+        d = rec - jnp.tile(q4, (1, jj))[:, None, :]
+        d2 = d * d
+        sq = (d2[..., 0::4] + d2[..., 1::4] + d2[..., 2::4]).reshape(q, o * jj)
+        cif = rec[..., 3::4].reshape(q, o * jj)  # float original index, -1 pad
+        ok = (cif >= 0) & (sq <= max_sq_dist) & jnp.repeat(found, jj, axis=-1)
+        sq = jnp.where(ok, sq, jnp.inf)
+        best = jnp.min(sq, axis=-1)
+        idx = jnp.min(
+            jnp.where(sq == best[:, None], cif, jnp.float32(2**30)), axis=-1
+        ).astype(jnp.int32)
+        valid = jnp.isfinite(best) & query_mask
+        return (
+            jnp.where(valid, idx, -1)[:, None],
+            jnp.where(valid, best, jnp.inf)[:, None],
+            valid[:, None],
+        )
+
+    cand_pts = grid.cell_points[rows]  # [Q, O, J, 3] (wide-row gather)
+    cand_idx = grid.cell_pt_index[rows]  # [Q, O, J]
     cand_pts = cand_pts.reshape(q, o * jj, 3)
     cand_idx = jnp.where(found[:, :, None], cand_idx, -1).reshape(q, o * jj)
 
