@@ -213,20 +213,35 @@ def knn_search(
             valid[:, None],
         )
 
-    cand_pts = grid.cell_points[rows]  # [Q, O, J, 3] (wide-row gather)
-    cand_idx = grid.cell_pt_index[rows]  # [Q, O, J]
-    cand_pts = cand_pts.reshape(q, o * jj, 3)
-    cand_idx = jnp.where(found[:, :, None], cand_idx, -1).reshape(q, o * jj)
+    # k-NN generic path: same packed-record gather, top_k for the distances,
+    # then k min/where passes to recover the original indices — top_k
+    # positions would need a per-row take_along_axis gather, which costs more
+    # than all k elementwise passes together.
+    rec = grid.cell_records[rows]  # [Q, O, J*4]
+    q4 = jnp.concatenate([queries, jnp.zeros((q, 1), queries.dtype)], axis=-1)
+    d = rec - jnp.tile(q4, (1, jj))[:, None, :]
+    d2 = d * d
+    sq = (d2[..., 0::4] + d2[..., 1::4] + d2[..., 2::4]).reshape(q, o * jj)
+    cif = rec[..., 3::4].reshape(q, o * jj)  # float original index, -1 pad
+    ok = (cif >= 0) & (sq <= max_sq_dist) & jnp.repeat(found, jj, axis=-1)
+    sq = jnp.where(ok, sq, jnp.inf)
 
-    diff = cand_pts - queries[:, None, :]
-    sq = jnp.sum(diff * diff, axis=-1)
-    sq = jnp.where((cand_idx >= 0) & (sq <= max_sq_dist), sq, jnp.inf)
+    neg_top, _ = jax.lax.top_k(-sq, k)
+    top_sq = -neg_top  # [Q, k], ascending
+    BIGF = jnp.float32(2**30)
 
-    neg_top, top_pos = jax.lax.top_k(-sq, k)  # [Q, k]
-    top_sq = -neg_top
+    def extract(j, carry):
+        idxs, sq_w = carry
+        m = sq_w == top_sq[:, j][:, None]
+        ij = jnp.min(jnp.where(m, cif, BIGF), axis=-1)
+        # invalidate the chosen candidate so equal-distance ties advance
+        sq_w = jnp.where(m & (cif == ij[:, None]), jnp.inf, sq_w)
+        return idxs.at[:, j].set(ij), sq_w
+
+    idxs0 = jnp.zeros((q, k), jnp.float32)
+    idxs, _ = jax.lax.fori_loop(0, k, extract, (idxs0, sq))
     top_valid = jnp.isfinite(top_sq) & query_mask[:, None]
-    orig_idx = jnp.take_along_axis(cand_idx, top_pos, axis=1)
-    orig_idx = jnp.where(top_valid, orig_idx, -1)
+    orig_idx = jnp.where(top_valid, idxs.astype(jnp.int32), -1)
     top_sq = jnp.where(top_valid, top_sq, jnp.inf)
     return orig_idx, top_sq, top_valid
 
