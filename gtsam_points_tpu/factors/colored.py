@@ -49,7 +49,9 @@ def estimate_intensity_gradients(frame: Frame, k: int = 10, grid: Optional[HashG
 
 def _xyzi_knn(grid, target, moved, src_int, mask, k, intensity_scale, ncells, per_cell, max_sq):
     """1-NN in XYZI space via candidate gather from the 3D grid with
-    intensity-augmented distance."""
+    intensity-augmented distance (reference: IntensityKdTree,
+    include/gtsam_points/ann/intensity_kdtree.hpp:27)."""
+    assert k == 1, "XYZI search is 1-NN only"
     from gtsam_points_tpu.ops import voxel_keys as vk
     from gtsam_points_tpu.ops.hash_grid import lookup_cells
 
@@ -59,22 +61,27 @@ def _xyzi_knn(grid, target, moved, src_int, mask, k, intensity_scale, ncells, pe
     nb_keys = jnp.where(mask[:, None], nb_keys, vk.INVALID_KEY)
     cell_idx, found = lookup_cells(grid, nb_keys)
     rows = jnp.where(found, cell_idx, grid.cell_capacity - 1)
-    cpts = grid.cell_points[rows]  # [Q, O, J, 3]
-    cidx = jnp.where(found[:, :, None], grid.cell_pt_index[rows], -1)
     q, o = rows.shape
     jj = grid.points_per_cell
-    cpts = cpts.reshape(q, o * jj, 3)
-    cidx = cidx.reshape(q, o * jj)
-    c_int = target.intensities[jnp.maximum(cidx, 0)]
-    geo = jnp.sum((cpts - moved[:, None, :]) ** 2, axis=-1)
+    # packed-record gather (xyz + float index) + a per-cell intensity tile:
+    # all candidate data arrives via wide-row gathers — a per-candidate
+    # intensities[cidx] gather costs more than the whole search
+    int_cells = target.intensities[jnp.maximum(grid.cell_pt_index, 0)]  # [C, J]
+    rec = grid.cell_records[rows]  # [Q, O, J*4]
+    c_int = int_cells[rows].reshape(q, o * jj)
+    m4 = jnp.concatenate([moved, jnp.zeros((q, 1), moved.dtype)], axis=-1)
+    dd = rec - jnp.tile(m4, (1, jj))[:, None, :]
+    dd2 = dd * dd
+    geo = (dd2[..., 0::4] + dd2[..., 1::4] + dd2[..., 2::4]).reshape(q, o * jj)
+    cif = rec[..., 3::4].reshape(q, o * jj)  # float original index, -1 pad
     pho = (c_int - src_int[:, None]) ** 2
     d = geo + intensity_scale * pho
-    d = jnp.where((cidx >= 0) & (geo <= max_sq), d, jnp.inf)
-    neg, top = jax.lax.top_k(-d, k)
-    sq = -neg
-    tvalid = jnp.isfinite(sq) & mask[:, None]
-    oidx = jnp.take_along_axis(cidx, top, axis=1)
-    return jnp.where(tvalid, oidx, -1), tvalid
+    ok = (cif >= 0) & (geo <= max_sq) & jnp.repeat(found, jj, axis=-1)
+    d = jnp.where(ok, d, jnp.inf)
+    best = jnp.min(d, axis=-1)
+    idx = jnp.min(jnp.where(d == best[:, None], cif, jnp.float32(2**30)), axis=-1)
+    tvalid = jnp.isfinite(best) & mask
+    return jnp.where(tvalid, idx.astype(jnp.int32), -1)[:, None], tvalid[:, None]
 
 
 @dataclasses.dataclass(frozen=True)
