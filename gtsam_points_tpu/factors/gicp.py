@@ -133,11 +133,14 @@ def make_gicp_factor(
     num_neighbor_cells: int = 27,
     max_points_per_cell: int = 16,
     fixed_target_pose: Optional[jax.Array] = None,
+    coarse_factor: Optional[int] = None,
 ) -> GICPFactor:
     if target.covs is None or source.covs is None:
         raise ValueError("GICP requires per-point covariances on both frames")
     if grid is None:
-        grid = build_hash_grid(target.points, target.mask, grid_leaf)
+        grid = build_hash_grid(
+            target.points, target.mask, grid_leaf, coarse_factor=coarse_factor
+        )
     if fixed_target_pose is None:
         fixed_target_pose = jnp.eye(4, dtype=jnp.float32)
     return GICPFactor(

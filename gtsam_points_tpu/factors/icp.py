@@ -124,13 +124,18 @@ def make_icp_factor(
     num_neighbor_cells: int = 27,
     max_points_per_cell: int = 16,
     fixed_target_pose: Optional[jax.Array] = None,
+    coarse_factor: Optional[int] = None,
 ) -> ICPFactor:
     """Factory: builds the target grid if not supplied (the reference
-    auto-builds a KdTree the same way, impl/integrated_icp_factor_impl.hpp:47-51)."""
+    auto-builds a KdTree the same way, impl/integrated_icp_factor_impl.hpp:47-51).
+    Pass coarse_factor (e.g. 4) for sparse maps where correspondences may lie
+    several leaves away (max_corr_dist >> grid_leaf)."""
     if point_to_plane and target.normals is None:
         raise ValueError("point-to-plane ICP requires target normals")
     if grid is None:
-        grid = build_hash_grid(target.points, target.mask, grid_leaf)
+        grid = build_hash_grid(
+            target.points, target.mask, grid_leaf, coarse_factor=coarse_factor
+        )
     if fixed_target_pose is None:
         fixed_target_pose = jnp.eye(4, dtype=jnp.float32)
     return ICPFactor(

@@ -48,7 +48,16 @@ class HashGrid(NamedTuple):
     neighbor_rows: [C, 27] int32 precomputed rows of each cell's 27-neighborhood
                    (-1 = unoccupied). kNN probes the hash ONCE per query (its own
                    cell) and fetches the neighborhood with one wide-row gather —
-                   27x fewer hash probes than probing every neighbor key.
+                   27x fewer hash probes than probing every neighbor key. Queries
+                   whose own cell is unoccupied automatically fall back to
+                   probing all 27 neighbor keys (matching the reference KdTree's
+                   any-distance exactness, ann/small_kdtree.hpp:377-472); the
+                   fallback branch is skipped entirely (lax.cond) when every
+                   query hits its own cell.
+    coarse:        optional second-level HashGrid with a larger leaf
+                   (build_hash_grid(coarse_factor=...)) consulted for queries the
+                   fine level finds NO candidates for — extends reach to
+                   ~coarse_factor leaves for max_corr_dist >> leaf.
     """
 
     leaf: jax.Array
@@ -60,6 +69,7 @@ class HashGrid(NamedTuple):
     num_cells: jax.Array
     hash_index: jax.Array
     neighbor_rows: jax.Array
+    coarse: "HashGrid | None" = None
 
     @property
     def cell_capacity(self) -> int:
@@ -76,9 +86,16 @@ def build_hash_grid(
     leaf: float,
     cell_capacity: int | None = None,
     max_points_per_cell: int = 16,
+    coarse_factor: int | None = None,
 ) -> HashGrid:
     """Build the grid. `cell_capacity` bounds distinct voxels (default: number
-    of points); each cell keeps at most `max_points_per_cell` points."""
+    of points); each cell keeps at most `max_points_per_cell` points.
+
+    `coarse_factor` (e.g. 4) additionally builds a second-level grid with leaf
+    `coarse_factor * leaf`, used automatically by knn_search as a fallback for
+    queries more than one fine cell off the mapped surface — the TPU analogue
+    of the reference KdTree's unbounded-distance search
+    (ann/small_kdtree.hpp:377-472)."""
     n = points.shape[0]
     cap = cell_capacity if cell_capacity is not None else n
     J = max_points_per_cell
@@ -129,7 +146,18 @@ def build_hash_grid(
     nb_rows, nb_found = probe(hash_index, cell_keys, nb_keys)
     neighbor_rows = jnp.where(nb_found, nb_rows, -1)
 
+    coarse = None
+    if coarse_factor is not None:
+        coarse = build_hash_grid(
+            points,
+            mask,
+            leaf * coarse_factor,
+            cell_capacity=cap,
+            max_points_per_cell=J,
+        )
+
     return HashGrid(
+        coarse=coarse,
         leaf=jnp.float32(leaf),
         cell_keys=cell_keys,
         cell_points=cell_points,
@@ -147,25 +175,15 @@ def lookup_cells(grid: HashGrid, query_keys: jax.Array):
     return probe(grid.hash_index, grid.cell_keys, query_keys)
 
 
-def knn_search(
+def _knn_one_level(
     grid: HashGrid,
     queries: jax.Array,
     query_mask: jax.Array,
     k: int,
     num_neighbor_cells: int = 27,
-    max_points_per_cell: int | None = None,
     max_sq_dist: float = jnp.inf,
 ):
-    """Grid kNN: scan neighbor voxels of each query, take top-k by distance.
-
-    Mirrors IncrementalVoxelMap::knn_search's 1/7/19/27-cell scan (reference:
-    include/gtsam_points/ann/impl/incremental_voxelmap_impl.hpp:71-92) but over
-    all queries at once; the per-cell candidate cap comes from the grid build.
-
-    Returns (indices [Q, k] into the ORIGINAL point array, sq_dists [Q, k],
-    valid [Q, k]). Invalid slots have index -1 and sq_dist inf.
-    """
-    del max_points_per_cell  # fixed at build time (kept for API compat)
+    """Single-level grid kNN (see knn_search)."""
     inv_leaf = 1.0 / grid.leaf
     coords = vk.voxel_coords(queries, inv_leaf)  # [Q, 3]
     own_keys = jnp.where(query_mask, vk.pack_coords(coords), vk.INVALID_KEY)
@@ -175,10 +193,30 @@ def knn_search(
         nb = grid.neighbor_rows[jnp.where(own_found, own_row, 0)]  # [Q, 27]
         found = own_found[:, None] & (nb >= 0)
         rows = jnp.where(found, nb, grid.cell_capacity - 1)
-        # NOTE: a query whose OWN cell is unoccupied gets no candidates (its
-        # neighborhood is not probed) — the query is off the mapped surface by
-        # at least one cell, which downstream max-distance gating would reject
-        # anyway. Pass num_neighbor_cells != 27 to force per-neighbor probing.
+        # A query whose OWN cell is unoccupied (off the mapped surface by at
+        # least one cell) falls back to probing all 27 neighbor keys directly —
+        # otherwise max_corr_dist > leaf would be silently unreachable
+        # (reference KdTree is exact at any distance,
+        # ann/small_kdtree.hpp:377-472). lax.cond skips the probe entirely on
+        # the common all-hit iteration.
+        miss = query_mask & jnp.logical_not(own_found)
+
+        def probe_missing(_):
+            offs = vk.neighbor_offsets(27)
+            nb_keys = vk.pack_coords(coords[:, None, :] + offs[None, :, :])
+            nb_keys = jnp.where(miss[:, None], nb_keys, vk.INVALID_KEY)
+            return lookup_cells(grid, nb_keys)
+
+        def no_missing(_):
+            return jnp.zeros_like(rows), jnp.zeros_like(found)
+
+        fb_rows, fb_found = jax.lax.cond(jnp.any(miss), probe_missing, no_missing, None)
+        found = jnp.where(own_found[:, None], found, fb_found)
+        rows = jnp.where(
+            own_found[:, None],
+            rows,
+            jnp.where(fb_found, fb_rows, grid.cell_capacity - 1),
+        )
     else:
         offsets = vk.neighbor_offsets(num_neighbor_cells)  # [O, 3]
         nb_keys = vk.pack_coords(coords[:, None, :] + offsets[None, :, :])  # [Q, O]
@@ -244,6 +282,56 @@ def knn_search(
     orig_idx = jnp.where(top_valid, idxs.astype(jnp.int32), -1)
     top_sq = jnp.where(top_valid, top_sq, jnp.inf)
     return orig_idx, top_sq, top_valid
+
+
+def knn_search(
+    grid: HashGrid,
+    queries: jax.Array,
+    query_mask: jax.Array,
+    k: int,
+    num_neighbor_cells: int = 27,
+    max_points_per_cell: int | None = None,
+    max_sq_dist: float = jnp.inf,
+):
+    """Grid kNN: scan neighbor voxels of each query, take top-k by distance.
+
+    Mirrors IncrementalVoxelMap::knn_search's 1/7/19/27-cell scan (reference:
+    include/gtsam_points/ann/impl/incremental_voxelmap_impl.hpp:71-92) but over
+    all queries at once; the per-cell candidate cap comes from the grid build.
+    Queries whose own cell is unoccupied auto-probe their 27 neighbor keys; if
+    the grid was built with `coarse_factor`, queries with NO fine-level
+    candidates consult the coarse level (reach ~coarse_factor leaves).
+
+    Returns (indices [Q, k] into the ORIGINAL point array, sq_dists [Q, k],
+    valid [Q, k]). Invalid slots have index -1 and sq_dist inf.
+    """
+    del max_points_per_cell  # fixed at build time (kept for API compat)
+    idx, sq, valid = _knn_one_level(
+        grid, queries, query_mask, k, num_neighbor_cells, max_sq_dist
+    )
+    if grid.coarse is None:
+        return idx, sq, valid
+
+    have = jnp.any(valid, axis=-1)
+    missing = query_mask & jnp.logical_not(have)
+    q = queries.shape[0]
+
+    def coarse_fn(_):
+        return _knn_one_level(grid.coarse, queries, missing, k, 27, max_sq_dist)
+
+    def no_coarse(_):
+        return (
+            jnp.full((q, k), -1, jnp.int32),
+            jnp.full((q, k), jnp.inf, jnp.float32),
+            jnp.zeros((q, k), bool),
+        )
+
+    cidx, csq, cval = jax.lax.cond(jnp.any(missing), coarse_fn, no_coarse, None)
+    return (
+        jnp.where(have[:, None], idx, cidx),
+        jnp.where(have[:, None], sq, csq),
+        jnp.where(have[:, None], valid, cval),
+    )
 
 
 def radius_search(

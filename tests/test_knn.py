@@ -115,3 +115,49 @@ def test_radius_search():
         assert nfound[i] == len(expect)
         s = sq[i][valid[i]]
         assert (np.diff(s) >= -1e-6).all()
+
+
+def test_grid_knn_off_map_fallback():
+    """A query whose own cell is unoccupied must still find its 1-NN in an
+    adjacent cell (automatic 27-key probe fallback; reference KdTree is exact
+    at any distance, ann/small_kdtree.hpp:377-472)."""
+    rng = np.random.RandomState(3)
+    pts = (rng.rand(500, 3) * 5.0).astype(np.float32)
+    frame = make_frame(pts)
+    grid = build_hash_grid(frame.points, frame.mask, leaf=1.0)
+    # queries displaced ~1 leaf off the cloud surface: own cell empty for most
+    q = pts[:64] + np.array([0.0, 0.0, 6.0 - 5.0], np.float32)  # z in [5, 6)
+    q[:, 2] = 5.0 + 0.3 * rng.rand(64).astype(np.float32)
+    qm = jnp.ones((64,), bool)
+    idx, sq, valid = knn_search(grid, jnp.asarray(q), qm, 1)
+    bidx, bsq, bvalid = brute_force_knn(frame.points, frame.mask, jnp.asarray(q), qm, 1)
+    # exact wherever the true NN is within one leaf of the query's cell ring
+    within = np.asarray(bsq)[:, 0] < 1.0
+    assert within.sum() > 10  # the scenario actually exercises the fallback
+    np.testing.assert_allclose(
+        np.where(within, np.asarray(sq)[:, 0], 0.0),
+        np.where(within, np.asarray(bsq)[:, 0], 0.0),
+        atol=1e-4,
+    )
+
+
+def test_grid_knn_coarse_level_far_queries():
+    """Queries 2-3 leaves off the map find neighbors through the coarse level
+    (max_corr_dist >> leaf); without coarse_factor they'd return empty."""
+    rng = np.random.RandomState(4)
+    pts = (rng.rand(800, 3) * 4.0).astype(np.float32)
+    pts[:, 2] *= 0.1  # near-planar cloud at z ~ 0
+    frame = make_frame(pts)
+    leaf = 0.5
+    grid_plain = build_hash_grid(frame.points, frame.mask, leaf)
+    grid = build_hash_grid(frame.points, frame.mask, leaf, coarse_factor=4)
+    q = pts[:32].copy()
+    q[:, 2] += 1.3  # ~2.6 leaves above the surface
+    qm = jnp.ones((32,), bool)
+    _, _, v0 = knn_search(grid_plain, jnp.asarray(q), qm, 1)
+    idx, sq, valid = knn_search(grid, jnp.asarray(q), qm, 1)
+    assert not np.asarray(v0).any()  # fine level alone: empty (the old gap)
+    assert np.asarray(valid).all()
+    bidx, bsq, _ = brute_force_knn(frame.points, frame.mask, jnp.asarray(q), qm, 1)
+    # coarse cells are 2.0 wide: found neighbor within a coarse cell ring of true NN
+    assert (np.asarray(sq)[:, 0] <= np.asarray(bsq)[:, 0] + 2 * 2.0**2).all()
