@@ -23,6 +23,30 @@ def register_factor(cls, data_fields, meta_fields):
     return jax.tree_util.register_dataclass(cls, data_fields=data_fields, meta_fields=meta_fields)
 
 
+def remap_keys(factor, mapping: dict):
+    """Copy of `factor` with every pose key k >= 0 replaced by mapping[k]
+    (keys absent from the mapping, and the unary -1 sentinel, are unchanged).
+
+    Handles every key convention in the factor zoo: `key`, `target_key` /
+    `source_key`, and `pose_keys` tuples. Used by the incremental optimizers to
+    express a sliding window in stable local slot indices so the jitted window
+    program's structure (factor keys are static metadata) does not change
+    between updates."""
+
+    def m(k):
+        return mapping.get(k, k) if k >= 0 else k
+
+    kwargs = {}
+    for name in ("key", "target_key", "source_key"):
+        if hasattr(factor, name):
+            kwargs[name] = m(getattr(factor, name))
+    if hasattr(factor, "pose_keys"):
+        kwargs["pose_keys"] = tuple(m(k) for k in factor.pose_keys)
+    if not kwargs:
+        raise TypeError(f"cannot remap keys of {type(factor).__name__}")
+    return dataclasses.replace(factor, **kwargs)
+
+
 def factor_poses(factor, poses: jax.Array):
     """Resolve (T_target, T_source) for a factor. target_key == -1 -> unary
     mode with the stored fixed target pose (reference:

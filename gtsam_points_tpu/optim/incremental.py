@@ -28,8 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from gtsam_points_tpu.factors.base import register_factor
-from gtsam_points_tpu.optim.graph import FactorGraph
-from gtsam_points_tpu.optim.lm import LMParams, optimize_lm
+from gtsam_points_tpu.optim.lm import LMParams
 from gtsam_points_tpu.utils import se3
 
 
@@ -118,81 +117,49 @@ def make_marginal_prior(A, b, poses, marg: List[int], keep: List[int]) -> Margin
 class FixedLagSmoother:
     """Timestamp-keyed sliding-window smoother.
 
-    update(key, stamp, factors) adds a pose + its factors, optimizes the
-    window with LM, and marginalizes poses older than `lag` seconds into a
-    MarginalPriorFactor. Estimates for marginalized poses are frozen.
+    update(key, stamp, initial_pose, factors) adds a pose + its factors,
+    marginalizes poses older than `lag` seconds into a MarginalPriorFactor
+    (estimates frozen), and optimizes the remaining window with LM.
 
-    Host-side bookkeeping (graph structure); all numerics jitted per window
-    structure. Includes the ...WithFallback rebuild on non-finite results.
+    Built on ISAM2Ext's machinery (optim/isam2.py): the window program is
+    cached by graph structure (stable local slot keys), so steady-state
+    updates reuse the compiled executable, and marginalization linearizes only
+    the subgraph over the involved keys — never a max_poses-sized dense
+    system. Non-finite results trigger a heavy-damping retry (reference:
+    IncrementalFixedLagSmootherExtWithFallback,
+    src/.../incremental_fixed_lag_smoother_ext_with_fallback.cpp:34-95).
     """
 
     def __init__(self, lag: float = 10.0, lm_params: Optional[LMParams] = None, max_poses: int = 1024):
+        from gtsam_points_tpu.optim.isam2 import ISAM2Ext  # circular-safe
+
+        del max_poses  # legacy: capacity is the active window itself now
         self.lag = lag
-        self.lm_params = lm_params or LMParams(max_iterations=10)
+        self._isam = ISAM2Ext(
+            window_size=1 << 30, lm_params=lm_params or LMParams(max_iterations=10)
+        )
         self.stamps: Dict[int, float] = {}
-        self.factors: List = []
-        self.marginal: Optional[MarginalPriorFactor] = None
-        self.poses = jnp.tile(jnp.eye(4, dtype=jnp.float32)[None], (max_poses, 1, 1))
-        self.frozen: Dict[int, np.ndarray] = {}
-        self.active: List[int] = []
+
+    @property
+    def frozen(self) -> Dict[int, np.ndarray]:
+        return self._isam.frozen
+
+    @property
+    def active(self) -> List[int]:
+        return list(self._isam.window)
+
+    @property
+    def num_compiles(self) -> int:
+        return self._isam.num_compiles
 
     def update(self, key: int, stamp: float, initial_pose, factors: List):
         self.stamps[key] = stamp
-        self.poses = self.poses.at[key].set(jnp.asarray(initial_pose))
-        self.factors.extend(factors)
-        self.active.append(key)
-
-        graph = FactorGraph(num_poses=int(self.poses.shape[0]))
-        for f in self.factors:
-            graph.add(f)
-        if self.marginal is not None:
-            graph.add(self.marginal)
-
-        res = optimize_lm(graph, self.poses, self.lm_params)
-        ok = bool(jnp.all(jnp.isfinite(res.poses)))
-        if not ok:
-            # fallback: rebuild with heavy damping from current estimates
-            res = optimize_lm(
-                graph,
-                self.poses,
-                dataclasses.replace(self.lm_params, lambda_initial=1e2),
-            )
-            if not bool(jnp.all(jnp.isfinite(res.poses))):
-                return self.poses  # keep previous estimate
-        self.poses = res.poses
-
-        # marginalize out-of-lag poses
         horizon = stamp - self.lag
-        to_marg = [k for k in self.active if self.stamps[k] < horizon]
+        to_marg = [k for k in self._isam.window if self.stamps.get(k, stamp) < horizon]
         if to_marg:
-            involved = set()
-            marg_factors = [f for f in self.factors if any(k in to_marg for k in f.keys)]
-            for f in marg_factors:
-                involved.update(f.keys)
-            if self.marginal is not None and any(k in to_marg for k in self.marginal.keys):
-                involved.update(self.marginal.keys)
-                marg_factors.append(self.marginal)
-                self.marginal = None
-            keep = sorted(k for k in involved if k not in to_marg)
-            if keep:
-                sub = FactorGraph(num_poses=int(self.poses.shape[0]))
-                for f in marg_factors:
-                    sub.add(f)
-                A, b, _ = sub.linearize_full(self.poses)
-                new_marg = make_marginal_prior(A, b, self.poses, sorted(to_marg), keep)
-                if self.marginal is None:
-                    self.marginal = new_marg
-                else:
-                    # both cover disjoint marg sets; combine by stacking into graph
-                    self.factors.append(self.marginal)
-                    self.marginal = new_marg
-            self.factors = [f for f in self.factors if not any(k in to_marg for k in f.keys)]
-            for k in to_marg:
-                self.frozen[k] = np.asarray(self.poses[k])
-                self.active.remove(k)
-        return self.poses
+            self._isam._marginalize(to_marg)
+        self._isam.update(factors, {key: initial_pose})
+        return self._isam.calculate_estimate()
 
-    def estimate(self, key: int):
-        if key in self.frozen:
-            return self.frozen[key]
-        return np.asarray(self.poses[key])
+    def estimate(self, key: int) -> np.ndarray:
+        return self._isam.calculate_estimate_pose(key)

@@ -1,0 +1,446 @@
+// Reference-equivalent CPU VGICP baseline, measured on this host.
+//
+// The reference repo (koide3/gtsam_points) publishes no numbers and its own
+// demo_benchmark (src/demo/demo_benchmark.cpp:42-290) needs a GTSAM build,
+// which is not installable in this image (no GTSAM/Eigen/Boost, no network).
+// This file is an independent, from-scratch C++/OpenMP implementation of the
+// same CPU VGICP pipeline the reference runs — voxel-hash Gaussian map
+// (types/gaussian_voxelmap_cpu.hpp behavior), O(1) voxel-lookup
+// correspondence, fused-covariance mahalanobis weights, analytic 6-DoF
+// Gauss-Newton accumulation under OpenMP with per-thread reducers
+// (factors/impl/scan_matching_reduction.hpp behavior), and a
+// Levenberg-Marquardt loop — so that the TPU framework's vs_baseline in
+// bench.py compares like-for-like MEASURED numbers (VERDICT r1 item 3):
+//   - vgicp linearize ms/scan (same workload as bench.py: kitti_07 scan 0
+//     voxelized at leaf 0.5 as target, scan 1 raw as source)
+//   - full pair registration ms (LM to convergence from a noised init).
+//
+// Matrix math is hand-rolled fixed-size (no Eigen). No code is copied from
+// the reference; cited files describe the behavior being matched.
+//
+// Build: make -C native ref_baseline   Run: ./native/ref_baseline [data_dir]
+
+#include <cmath>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <algorithm>
+#include <chrono>
+#include <fstream>
+#include <string>
+#include <unordered_map>
+#include <vector>
+
+#ifdef _OPENMP
+#include <omp.h>
+#endif
+
+using std::size_t;
+
+// ---------- small fixed-size linear algebra ----------
+struct V3 {
+  double x = 0, y = 0, z = 0;
+};
+static inline V3 operator+(V3 a, V3 b) { return {a.x + b.x, a.y + b.y, a.z + b.z}; }
+static inline V3 operator-(V3 a, V3 b) { return {a.x - b.x, a.y - b.y, a.z - b.z}; }
+static inline V3 operator*(double s, V3 a) { return {s * a.x, s * a.y, s * a.z}; }
+static inline double dot(V3 a, V3 b) { return a.x * b.x + a.y * b.y + a.z * b.z; }
+static inline V3 cross(V3 a, V3 b) {
+  return {a.y * b.z - a.z * b.y, a.z * b.x - a.x * b.z, a.x * b.y - a.y * b.x};
+}
+
+struct M3 {
+  double m[3][3] = {{0, 0, 0}, {0, 0, 0}, {0, 0, 0}};
+  static M3 eye(double s = 1.0) {
+    M3 r;
+    r.m[0][0] = r.m[1][1] = r.m[2][2] = s;
+    return r;
+  }
+};
+static inline V3 mul(const M3& A, V3 v) {
+  return {A.m[0][0] * v.x + A.m[0][1] * v.y + A.m[0][2] * v.z,
+          A.m[1][0] * v.x + A.m[1][1] * v.y + A.m[1][2] * v.z,
+          A.m[2][0] * v.x + A.m[2][1] * v.y + A.m[2][2] * v.z};
+}
+static inline M3 mul(const M3& A, const M3& B) {
+  M3 r;
+  for (int i = 0; i < 3; i++)
+    for (int j = 0; j < 3; j++) {
+      double s = 0;
+      for (int k = 0; k < 3; k++) s += A.m[i][k] * B.m[k][j];
+      r.m[i][j] = s;
+    }
+  return r;
+}
+static inline M3 transpose(const M3& A) {
+  M3 r;
+  for (int i = 0; i < 3; i++)
+    for (int j = 0; j < 3; j++) r.m[i][j] = A.m[j][i];
+  return r;
+}
+static inline M3 add(const M3& A, const M3& B) {
+  M3 r;
+  for (int i = 0; i < 3; i++)
+    for (int j = 0; j < 3; j++) r.m[i][j] = A.m[i][j] + B.m[i][j];
+  return r;
+}
+// symmetric 3x3 inverse via adjugate
+static inline bool inv_sym(const M3& A, M3& out) {
+  const double a = A.m[0][0], b = A.m[0][1], c = A.m[0][2];
+  const double d = A.m[1][1], e = A.m[1][2], f = A.m[2][2];
+  const double co00 = d * f - e * e;
+  const double co01 = -(b * f - c * e);
+  const double co02 = b * e - c * d;
+  const double det = a * co00 + b * co01 + c * co02;
+  if (std::fabs(det) < 1e-12) return false;
+  const double id = 1.0 / det;
+  const double co11 = a * f - c * c;
+  const double co12 = -(a * e - b * c);
+  const double co22 = a * d - b * b;
+  out.m[0][0] = co00 * id;
+  out.m[0][1] = out.m[1][0] = co01 * id;
+  out.m[0][2] = out.m[2][0] = co02 * id;
+  out.m[1][1] = co11 * id;
+  out.m[1][2] = out.m[2][1] = co12 * id;
+  out.m[2][2] = co22 * id;
+  return true;
+}
+static inline M3 skew(V3 v) {
+  M3 r;
+  r.m[0][1] = -v.z; r.m[0][2] = v.y;
+  r.m[1][0] = v.z;  r.m[1][2] = -v.x;
+  r.m[2][0] = -v.y; r.m[2][1] = v.x;
+  return r;
+}
+
+struct SE3 {
+  M3 R = M3::eye();
+  V3 t;
+};
+static inline SE3 mul(const SE3& A, const SE3& B) {
+  return {mul(A.R, B.R), mul(A.R, B.t) + A.t};
+}
+// exp([w, v]) with rotation-first tangent (matches utils/se3.se3_exp convention)
+static SE3 se3_exp(const double xi[6]) {
+  V3 w{xi[0], xi[1], xi[2]}, v{xi[3], xi[4], xi[5]};
+  const double th = std::sqrt(dot(w, w));
+  M3 W = skew(w);
+  M3 W2 = mul(W, W);
+  double A = 1.0, B = 0.5, C = 1.0 / 6.0;
+  if (th > 1e-8) {
+    A = std::sin(th) / th;
+    B = (1 - std::cos(th)) / (th * th);
+    C = (1 - A) / (th * th);
+  }
+  SE3 T;
+  for (int i = 0; i < 3; i++)
+    for (int j = 0; j < 3; j++)
+      T.R.m[i][j] = (i == j) + A * W.m[i][j] + B * W2.m[i][j];
+  M3 V;
+  for (int i = 0; i < 3; i++)
+    for (int j = 0; j < 3; j++)
+      V.m[i][j] = (i == j) + B * W.m[i][j] + C * W2.m[i][j];
+  T.t = mul(V, v);
+  return T;
+}
+
+// 6x6 cholesky solve
+static bool solve66(double A[6][6], const double b[6], double x[6]) {
+  double L[6][6] = {};
+  for (int i = 0; i < 6; i++) {
+    for (int j = 0; j <= i; j++) {
+      double s = A[i][j];
+      for (int k = 0; k < j; k++) s -= L[i][k] * L[j][k];
+      if (i == j) {
+        if (s <= 0) return false;
+        L[i][i] = std::sqrt(s);
+      } else {
+        L[i][j] = s / L[j][j];
+      }
+    }
+  }
+  double y[6];
+  for (int i = 0; i < 6; i++) {
+    double s = b[i];
+    for (int k = 0; k < i; k++) s -= L[i][k] * y[k];
+    y[i] = s / L[i][i];
+  }
+  for (int i = 5; i >= 0; i--) {
+    double s = y[i];
+    for (int k = i + 1; k < 6; k++) s -= L[k][i] * x[k];
+    x[i] = s / L[i][i];
+  }
+  return true;
+}
+
+// ---------- data ----------
+static std::vector<V3> read_points(const std::string& path) {
+  std::ifstream ifs(path, std::ios::binary);
+  if (!ifs) {
+    std::fprintf(stderr, "cannot open %s\n", path.c_str());
+    std::exit(1);
+  }
+  ifs.seekg(0, std::ios::end);
+  const size_t bytes = static_cast<size_t>(ifs.tellg());
+  ifs.seekg(0);
+  std::vector<float> raw(bytes / 4);
+  ifs.read(reinterpret_cast<char*>(raw.data()), bytes);
+  std::vector<V3> pts(raw.size() / 3);
+  for (size_t i = 0; i < pts.size(); i++)
+    pts[i] = {raw[3 * i], raw[3 * i + 1], raw[3 * i + 2]};
+  return pts;
+}
+
+// ---------- Gaussian voxel map (behavioral match of GaussianVoxelMapCPU) ----
+struct Voxel {
+  double n = 0;
+  V3 sum;
+  double ss[6] = {};  // xx, xy, xz, yy, yz, zz
+  V3 mean;
+  M3 cov;
+};
+
+struct VoxelMap {
+  double leaf;
+  std::unordered_map<int64_t, int> index;
+  std::vector<Voxel> voxels;
+
+  static int64_t key_of(V3 p, double inv_leaf) {
+    const int64_t x = static_cast<int64_t>(std::floor(p.x * inv_leaf));
+    const int64_t y = static_cast<int64_t>(std::floor(p.y * inv_leaf));
+    const int64_t z = static_cast<int64_t>(std::floor(p.z * inv_leaf));
+    return ((x & 0x1FFFFF) << 42) | ((y & 0x1FFFFF) << 21) | (z & 0x1FFFFF);
+  }
+
+  void insert(const std::vector<V3>& pts) {
+    const double il = 1.0 / leaf;
+    index.reserve(pts.size());
+    for (const auto& p : pts) {
+      const int64_t k = key_of(p, il);
+      auto it = index.find(k);
+      int vi;
+      if (it == index.end()) {
+        vi = static_cast<int>(voxels.size());
+        index.emplace(k, vi);
+        voxels.emplace_back();
+      } else {
+        vi = it->second;
+      }
+      Voxel& v = voxels[vi];
+      v.n += 1;
+      v.sum = v.sum + p;
+      v.ss[0] += p.x * p.x; v.ss[1] += p.x * p.y; v.ss[2] += p.x * p.z;
+      v.ss[3] += p.y * p.y; v.ss[4] += p.y * p.z; v.ss[5] += p.z * p.z;
+    }
+    for (auto& v : voxels) {
+      const double in = 1.0 / v.n;
+      v.mean = in * v.sum;
+      v.cov.m[0][0] = v.ss[0] * in - v.mean.x * v.mean.x;
+      v.cov.m[0][1] = v.cov.m[1][0] = v.ss[1] * in - v.mean.x * v.mean.y;
+      v.cov.m[0][2] = v.cov.m[2][0] = v.ss[2] * in - v.mean.x * v.mean.z;
+      v.cov.m[1][1] = v.ss[3] * in - v.mean.y * v.mean.y;
+      v.cov.m[1][2] = v.cov.m[2][1] = v.ss[4] * in - v.mean.y * v.mean.z;
+      v.cov.m[2][2] = v.ss[5] * in - v.mean.z * v.mean.z;
+    }
+  }
+
+  const Voxel* lookup(V3 p) const {
+    auto it = index.find(key_of(p, 1.0 / leaf));
+    return it == index.end() ? nullptr : &voxels[it->second];
+  }
+};
+
+// ---------- VGICP linearize (hot path; OMP per-thread reducers) ----------
+struct System6 {
+  double H[6][6] = {};
+  double b[6] = {};
+  double err = 0;
+  int inliers = 0;
+};
+
+static System6 linearize_vgicp(
+  const VoxelMap& map, const std::vector<V3>& src, const SE3& T, double min_pts, int threads) {
+  std::vector<System6> partial(std::max(threads, 1));
+#pragma omp parallel num_threads(threads)
+  {
+#ifdef _OPENMP
+    System6& acc = partial[omp_get_thread_num()];
+#else
+    System6& acc = partial[0];
+#endif
+#pragma omp for schedule(guided, 8)
+    for (long i = 0; i < static_cast<long>(src.size()); i++) {
+      const V3 p = src[i];
+      const V3 pm = mul(T.R, p) + T.t;
+      const Voxel* v = map.lookup(pm);
+      if (!v || v->n < min_pts) continue;
+      // fused covariance: C_voxel + source cov (1e-3 I — bench.py workload
+      // uses raw source points without per-point covs)
+      M3 fused = add(v->cov, M3::eye(1e-3));
+      M3 W;
+      if (!inv_sym(fused, W)) continue;
+      const V3 r = pm - v->mean;
+      // J = [-R*skew(p) | R]  (right perturbation on the source pose)
+      M3 Rsk = mul(T.R, skew(p));
+      double J[3][6];
+      for (int c = 0; c < 3; c++) {
+        J[0][c] = -Rsk.m[0][c]; J[1][c] = -Rsk.m[1][c]; J[2][c] = -Rsk.m[2][c];
+        J[0][3 + c] = T.R.m[0][c]; J[1][3 + c] = T.R.m[1][c]; J[2][3 + c] = T.R.m[2][c];
+      }
+      double WJ[3][6];
+      for (int c = 0; c < 6; c++) {
+        const V3 col{J[0][c], J[1][c], J[2][c]};
+        const V3 w = mul(W, col);
+        WJ[0][c] = w.x; WJ[1][c] = w.y; WJ[2][c] = w.z;
+      }
+      const V3 Wr = mul(W, r);
+      for (int a = 0; a < 6; a++) {
+        for (int c = a; c < 6; c++)
+          acc.H[a][c] += J[0][a] * WJ[0][c] + J[1][a] * WJ[1][c] + J[2][a] * WJ[2][c];
+        acc.b[a] -= J[0][a] * Wr.x + J[1][a] * Wr.y + J[2][a] * Wr.z;
+      }
+      acc.err += dot(r, Wr);
+      acc.inliers++;
+    }
+  }
+  System6 out = partial[0];
+  for (size_t t = 1; t < partial.size(); t++) {
+    for (int a = 0; a < 6; a++) {
+      for (int c = a; c < 6; c++) out.H[a][c] += partial[t].H[a][c];
+      out.b[a] += partial[t].b[a];
+    }
+    out.err += partial[t].err;
+    out.inliers += partial[t].inliers;
+  }
+  for (int a = 0; a < 6; a++)
+    for (int c = 0; c < a; c++) out.H[a][c] = out.H[c][a];
+  return out;
+}
+
+static double error_vgicp(
+  const VoxelMap& map, const std::vector<V3>& src, const SE3& T, double min_pts, int threads) {
+  double err = 0;
+#pragma omp parallel for schedule(guided, 8) reduction(+ : err) num_threads(threads)
+  for (long i = 0; i < static_cast<long>(src.size()); i++) {
+    const V3 pm = mul(T.R, src[i]) + T.t;
+    const Voxel* v = map.lookup(pm);
+    if (!v || v->n < min_pts) continue;
+    M3 fused = add(v->cov, M3::eye(1e-3));
+    M3 W;
+    if (!inv_sym(fused, W)) continue;
+    const V3 r = pm - v->mean;
+    err += dot(r, mul(W, r));
+  }
+  return err;
+}
+
+// LM on the source pose (target fixed; the reference's unary mode)
+struct LMOut {
+  SE3 T;
+  int iters = 0;
+  double err = 0;
+};
+static LMOut optimize_lm(
+  const VoxelMap& map, const std::vector<V3>& src, SE3 T, double min_pts, int threads) {
+  double lambda = 1e-5;
+  LMOut out;
+  double err = error_vgicp(map, src, T, min_pts, threads);
+  for (int it = 0; it < 30; it++) {
+    System6 sys = linearize_vgicp(map, src, T, min_pts, threads);
+    bool accepted = false;
+    for (int inner = 0; inner < 10; inner++) {
+      double A[6][6];
+      std::memcpy(A, sys.H, sizeof(A));
+      for (int d = 0; d < 6; d++) A[d][d] += lambda * std::max(sys.H[d][d], 1e-10);
+      double xi[6];
+      if (!solve66(A, sys.b, xi)) {
+        lambda *= 10;
+        continue;
+      }
+      SE3 cand = mul(T, se3_exp(xi));
+      const double cand_err = error_vgicp(map, src, cand, min_pts, threads);
+      if (cand_err < err) {
+        const double rel = (err - cand_err) / std::max(err, 1e-9);
+        T = cand;
+        err = cand_err;
+        lambda = std::max(lambda / 10, 1e-10);
+        accepted = true;
+        out.iters = it + 1;
+        if (rel < 1e-4) it = 1000;  // converged
+        break;
+      }
+      lambda *= 10;
+    }
+    if (!accepted) break;
+  }
+  out.T = T;
+  out.err = err;
+  return out;
+}
+
+// ---------- harness ----------
+static double now_ms() {
+  return std::chrono::duration<double, std::milli>(
+           std::chrono::steady_clock::now().time_since_epoch())
+    .count();
+}
+
+int main(int argc, char** argv) {
+  const std::string data = argc > 1 ? argv[1] : "/root/reference/data";
+  const auto pts0 = read_points(data + "/kitti_07_dump/000000/points.bin");
+  const auto pts1 = read_points(data + "/kitti_07_dump/000001/points.bin");
+
+  int max_threads = 1;
+#ifdef _OPENMP
+  max_threads = omp_get_max_threads();
+#endif
+
+  // voxelmap build (leaf 0.5 — same workload as bench.py)
+  double t0 = now_ms();
+  VoxelMap map;
+  map.leaf = 0.5;
+  map.insert(pts0);
+  const double build_ms = now_ms() - t0;
+  std::printf(
+    "{\"metric\": \"ref_cpu_voxelmap_build_ms\", \"value\": %.3f, \"unit\": \"ms\", "
+    "\"points\": %zu, \"voxels\": %zu}\n",
+    build_ms, pts0.size(), map.voxels.size());
+
+  // linearize ms/scan, 1..max threads (median of 21 reps)
+  for (int threads = 1; threads <= max_threads; threads *= 2) {
+    SE3 T;  // identity (same as bench.py's measured point)
+    volatile double sink = 0;
+    std::vector<double> times;
+    for (int rep = 0; rep < 21; rep++) {
+      const double s = now_ms();
+      System6 sys = linearize_vgicp(map, pts1, T, 3.0, threads);
+      times.push_back(now_ms() - s);
+      sink += sys.err;
+    }
+    std::sort(times.begin(), times.end());
+    std::printf(
+      "{\"metric\": \"ref_cpu_vgicp_linearize_ms_per_scan\", \"value\": %.4f, \"unit\": \"ms\", "
+      "\"threads\": %d, \"points\": %zu}\n",
+      times[times.size() / 2], threads, pts1.size());
+  }
+
+  // full pair registration from a noised init (LM to convergence)
+  for (int threads = 1; threads <= max_threads; threads *= 2) {
+    const double xi[6] = {0.02, -0.01, 0.03, 0.2, -0.1, 0.15};
+    std::vector<double> times;
+    int iters = 0;
+    for (int rep = 0; rep < 11; rep++) {
+      SE3 T0 = se3_exp(xi);
+      const double s = now_ms();
+      LMOut lm = optimize_lm(map, pts1, T0, 3.0, threads);
+      times.push_back(now_ms() - s);
+      iters = lm.iters;
+    }
+    std::sort(times.begin(), times.end());
+    std::printf(
+      "{\"metric\": \"ref_cpu_vgicp_registration_ms\", \"value\": %.3f, \"unit\": \"ms\", "
+      "\"threads\": %d, \"lm_iters\": %d}\n",
+      times[times.size() / 2], threads, iters);
+  }
+  return 0;
+}

@@ -1,0 +1,134 @@
+"""ISAM2Ext incremental insertion with MATCHING-COST factors on real data —
+the reference's test_graph_isam2 protocol (src/test/test_matching_cost_factors.cpp:
+227-238): kitti_07 submaps added pose-by-pose, VGICP factors, window smaller
+than the sequence so marginalization runs, per-pose error vs GT after all
+updates: rot < 0.015 rad, trans < 0.15 m. Additionally asserts the TPU-side
+contract: once the window structure is in steady state, updates reuse the
+compiled program (no re-trace per update)."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gtsam_points_tpu.factors import PriorFactor, make_vgicp_factor
+from gtsam_points_tpu.ops.downsample import voxelgrid_sampling
+from gtsam_points_tpu.ops.features import estimate_normals_covs
+from gtsam_points_tpu.optim.isam2 import ISAM2Ext
+from gtsam_points_tpu.optim.lm import LMParams
+from gtsam_points_tpu.types.frame import make_frame
+from gtsam_points_tpu.utils import io, se3
+
+ROT_TOL = 0.015
+TRANS_TOL = 0.15
+N = 5  # all five kitti_07 submaps
+
+
+@pytest.fixture(scope="module")
+def kitti07_all(data_root):
+    gt = io.load_graph(os.path.join(data_root, "kitti_07_dump/graph.txt"))
+    T_gt = np.asarray(se3.pose_from_xyzq(jnp.asarray(gt)))[:N]
+
+    @jax.jit
+    def preprocess(f):
+        f = voxelgrid_sampling(f, 0.5, capacity=16384)
+        return estimate_normals_covs(f, k=10, grid_leaf=1.0)
+
+    frames = []
+    for i in range(N):
+        pts = io.read_points(os.path.join(data_root, f"kitti_07_dump/{i:06d}/points.bin"))
+        frames.append(preprocess(make_frame(pts, capacity=25088)))
+    return frames, T_gt
+
+
+def test_isam2_vgicp_incremental_kitti07(kitti07_all):
+    frames, T_gt = kitti07_all
+    rng = np.random.RandomState(42)
+    # reference protocol: uniform(-0.1, 0.1) tangent noise, LM max 30 iters
+    # (test_matching_cost_factors.cpp:42-61, :203-205)
+    noises = [rng.uniform(-0.1, 0.1, 6).astype(np.float32) for _ in range(N)]
+    isam = ISAM2Ext(window_size=3, lm_params=LMParams(max_iterations=30))
+
+    init0 = np.asarray(jnp.asarray(T_gt[0]) @ se3.se3_exp(jnp.asarray(noises[0])))
+    results = [
+        isam.update(
+            [PriorFactor(prior=jnp.asarray(init0), weights=jnp.full((6,), 1e6), key=0)],
+            {0: jnp.asarray(init0)},
+        )
+    ]
+    for i in range(1, N):
+        # odometry-style init: noisy GT delta composed onto the previous
+        # ESTIMATE (how incremental insertion happens in a SLAM frontend)
+        delta_gt = np.linalg.inv(T_gt[i - 1]) @ T_gt[i]
+        init = (
+            isam.calculate_estimate_pose(i - 1)
+            @ delta_gt
+            @ np.asarray(se3.se3_exp(jnp.asarray(noises[i])))
+        )
+        factors = [
+            make_vgicp_factor(i - 1, i, frames[i - 1], frames[i], voxel_resolution=1.0, min_voxel_points=4)
+        ]
+        if i == N - 1:
+            # loop-closure-style factor to the (already marginalized) first
+            # pose: exercises frozen-target unary baking
+            factors.append(
+                make_vgicp_factor(0, i, frames[0], frames[i], voxel_resolution=1.0, min_voxel_points=4)
+            )
+        results.append(isam.update(factors, {i: jnp.asarray(init)}))
+
+    # window bound honored; marginalization actually ran
+    assert len(isam.window) == 3
+    assert set(isam.frozen) == {0, 1}
+    assert results[3].num_marginalized == 1 and results[4].num_marginalized == 1
+
+    # every update improved (or kept) the windowed error
+    for r in results[1:]:
+        assert r.error_after <= r.error_before + 1e-3
+
+    # reference accuracy bounds on ALL poses (frozen ones at their
+    # marginalization-time estimates), gauge-aligned to pose 0 (the reference
+    # aligns with delta = gt_0 * est_0^-1, test_matching_cost_factors.cpp:215-227)
+    est = isam.calculate_estimate()
+    gauge = T_gt[0] @ np.linalg.inv(np.asarray(est[0]))
+    for i in range(N):
+        T_err = np.linalg.inv(T_gt[i]) @ (gauge @ np.asarray(est[i]))
+        xi = np.asarray(se3.se3_log(jnp.asarray(T_err[None]))[0])
+        rot_e, trans_e = np.linalg.norm(xi[:3]), np.linalg.norm(xi[3:])
+        assert float(rot_e) < ROT_TOL, f"pose {i}: rot {float(rot_e)}"
+        assert float(trans_e) < TRANS_TOL, f"pose {i}: trans {float(trans_e)}"
+
+
+def test_isam2_steady_state_no_recompile():
+    """Synthetic long sequence: after warmup, NO new XLA programs are built —
+    per-update cost is bounded (the contract the reference gets from its Bayes
+    tree; VERDICT r1 item 1)."""
+    from gtsam_points_tpu.factors import BetweenFactor
+
+    rng = np.random.RandomState(0)
+    isam = ISAM2Ext(window_size=4, lm_params=LMParams(max_iterations=5))
+    w = jnp.ones(6) * 100.0
+    T = [np.eye(4, dtype=np.float32)]
+    isam.update(
+        [PriorFactor(prior=jnp.eye(4), weights=jnp.full((6,), 1e6), key=0)],
+        {0: jnp.eye(4)},
+    )
+    compiles_at = []
+    for i in range(1, 12):
+        d = np.asarray(
+            se3.se3_exp(jnp.asarray([0.01, 0.0, 0.02, 1.0, 0.05, 0.0], dtype=jnp.float32))
+        )
+        T.append(T[-1] @ d)
+        init = jnp.asarray(T[i]) @ se3.se3_exp(jnp.asarray(rng.randn(6).astype(np.float32) * 0.02))
+        isam.update(
+            [BetweenFactor(measured=jnp.asarray(d), weights=w, target_key=i - 1, source_key=i)],
+            {i: init},
+        )
+        compiles_at.append(isam.num_compiles)
+    # warmup compiles happen while the window fills + first two marginalization
+    # structures; from update 7 on the count must be flat
+    assert compiles_at[-1] == compiles_at[6], f"recompiled in steady state: {compiles_at}"
+    # estimates stay sane
+    rot_e, trans_e = se3.pose_error(jnp.asarray(T[11]), jnp.asarray(isam.calculate_estimate()[11]))
+    assert float(rot_e) < 1e-2 and float(trans_e) < 5e-2
