@@ -161,10 +161,15 @@ def remove_outliers(
     grid = build_hash_grid(frame.points, frame.mask, grid_leaf)
     _, sq, valid = knn_search(grid, frame.points, frame.mask, k + 1, num_neighbor_cells)
     d = jnp.sqrt(jnp.where(valid, sq, 0.0))
-    cnt = jnp.maximum(jnp.sum(valid[:, 1:], axis=1), 1)
-    mean_d = jnp.sum(d[:, 1:], axis=1) / cnt
-    ok = frame.mask
+    n_nb = jnp.sum(valid[:, 1:], axis=1)
+    mean_d = jnp.sum(d[:, 1:], axis=1) / jnp.maximum(n_nb, 1)
+    # A point with NO neighbors inside the grid's search reach is infinitely
+    # isolated — the reference's KdTree would report a huge kNN distance for
+    # it (small_kdtree is exact at any range); mark it an outlier directly and
+    # keep it out of the mean/std statistics.
+    isolated = frame.mask & (n_nb == 0)
+    ok = frame.mask & ~isolated
     mu = jnp.sum(jnp.where(ok, mean_d, 0.0)) / jnp.maximum(jnp.sum(ok), 1)
     var = jnp.sum(jnp.where(ok, (mean_d - mu) ** 2, 0.0)) / jnp.maximum(jnp.sum(ok), 1)
     thresh = mu + std_thresh * jnp.sqrt(var)
-    return frame.replace(mask=frame.mask & (mean_d <= thresh))
+    return frame.replace(mask=ok & (mean_d <= thresh))

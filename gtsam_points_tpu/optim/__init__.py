@@ -29,6 +29,17 @@ from gtsam_points_tpu.optim.solvers import (
     cg_solve,
     schur_pose_landmark,
 )
+from gtsam_points_tpu.optim.sparse import (
+    PoseGraphEdges,
+    PoseGraphResult,
+    SparseSystem,
+    linearize_pose_graph,
+    make_pose_graph,
+    optimize_pose_graph,
+    pose_graph_error,
+    solve_cg_block,
+    sparse_matvec,
+)
 
 __all__ = [
     "FactorGraph",
@@ -53,4 +64,13 @@ __all__ = [
     "block_jacobi_preconditioner",
     "cg_solve",
     "schur_pose_landmark",
+    "PoseGraphEdges",
+    "PoseGraphResult",
+    "SparseSystem",
+    "make_pose_graph",
+    "linearize_pose_graph",
+    "pose_graph_error",
+    "sparse_matvec",
+    "solve_cg_block",
+    "optimize_pose_graph",
 ]

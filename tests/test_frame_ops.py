@@ -86,3 +86,21 @@ def test_merge_frames():
     f2, p2 = random_frame(150, seed=7)
     merged = merge_frames([f1, f2])
     assert int(merged.num_valid()) == 250
+
+
+def test_remove_outliers_statistical():
+    """Statistical outlier removal (reference: find_inlier_points/remove_outliers,
+    point_cloud_cpu_funcs.cpp:576+): far-flung points get masked out, the dense
+    cloud survives."""
+    from gtsam_points_tpu.ops.downsample import remove_outliers
+
+    rng = np.random.RandomState(7)
+    dense = (rng.rand(500, 3) * 2.0).astype(np.float32)  # ~unit spacing cloud
+    outliers = np.array([[50.0, 50.0, 50.0], [-40.0, 0.0, 0.0], [0.0, 80.0, -3.0]], np.float32)
+    frame = make_frame(np.concatenate([dense, outliers]), capacity=768)
+    out = remove_outliers(frame, k=8, std_thresh=2.0, grid_leaf=0.5)
+    m = np.asarray(out.mask)
+    assert not m[500:503].any(), "far outliers must be masked invalid"
+    assert m[:500].sum() > 450, "dense cloud must survive"
+    # capacity padding stays invalid
+    assert not m[503:].any()

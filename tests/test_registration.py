@@ -116,3 +116,33 @@ def test_fpfh_properties(kitti_pair):
     assert ok.all(), f"bad sums: {sums[~ok.all(-1)][:5]}"
     assert np.isclose(sums, 100.0, atol=1e-2).mean() > 0.99
     assert (f[~mask] == 0).all()
+
+
+def test_pfh_dimensions_and_invariance():
+    """PFH-125 (reference: features/fpfh_estimation.hpp estimate_pfh,
+    PFH_DIM=125): percent-normalized joint histogram, invariant under rigid
+    transforms of the cloud (pair features are relative)."""
+    from gtsam_points_tpu.registration.fpfh import PFH_DIM, estimate_pfh
+    from gtsam_points_tpu.ops.features import estimate_normals_covs
+    from gtsam_points_tpu.utils import se3
+
+    rng = np.random.RandomState(11)
+    pts = (rng.rand(400, 3) * 4.0).astype(np.float32)
+    pts[:, 2] = 0.2 * np.sin(pts[:, 0]) + 0.1 * pts[:, 1]  # smooth surface
+    frame = estimate_normals_covs(make_frame(pts), k=10, grid_leaf=1.0)
+    feats = np.asarray(estimate_pfh(frame, k=8, grid_leaf=1.0))
+    assert feats.shape[1] == PFH_DIM == 125
+    sums = feats[np.asarray(frame.mask)].sum(axis=1)
+    np.testing.assert_allclose(sums[sums > 0], 100.0, rtol=1e-3)
+
+    # rigid invariance: rotate+translate cloud (and normals), features match
+    T = np.asarray(se3.se3_exp(jnp.asarray([0.3, -0.2, 0.5, 2.0, -1.0, 0.5], jnp.float32)))
+    pts_t = np.asarray(frame.points) @ T[:3, :3].T + T[:3, 3]  # padded capacity
+    normals_t = np.asarray(frame.normals) @ T[:3, :3].T
+    frame_t = frame.replace(points=jnp.asarray(pts_t), normals=jnp.asarray(normals_t))
+    feats_t = np.asarray(estimate_pfh(frame_t, k=8, grid_leaf=1.0))
+    # neighborhoods identical (same grid topology after rigid motion up to
+    # voxel re-bucketing); compare where both are populated
+    both = (feats.sum(1) > 0) & (feats_t.sum(1) > 0)
+    diff = np.abs(feats[both] - feats_t[both]).sum(1)
+    assert np.median(diff) < 25.0  # most points keep their histogram
