@@ -231,6 +231,64 @@ def main():
     emit("slam_pipeline_max_trans_err", float(max(float(t) for _, t in errs)), "m")
     emit("slam_pipeline_max_rot_err", float(max(float(r) for r, _ in errs)), "rad")
 
+    # --- sequence-level odometry + ATE (VERDICT r1 item 6) ---------------
+    # (a) kitti_07: scan-to-map VGICP odometry over all 5 submaps
+    def run_sequence(frames_seq, preds_seq, params_seq):
+        st = init_odometry(frames_seq[0], params_seq)
+        poses = [np.eye(4, dtype=np.float32)]
+        per_scan_ms = []
+        for f, pred in zip(frames_seq[1:], preds_seq):
+            t0 = time.perf_counter()
+            st, T, _ = odometry_step(st, f, params_seq, pred)
+            jax.block_until_ready(T)
+            per_scan_ms.append((time.perf_counter() - t0) * 1000)
+            poses.append(np.asarray(T))
+        return poses, per_scan_ms
+
+    def ate_stats(poses, T_gt_seq):
+        delta = T_gt_seq[0] @ np.linalg.inv(poses[0])
+        sq = []
+        for i in range(len(T_gt_seq)):
+            T_err = np.linalg.inv(T_gt_seq[i]) @ (delta @ poses[i])
+            xi = np.asarray(se3.se3_log(jnp.asarray(T_err[None], dtype=jnp.float32))[0])
+            sq.append(float(np.sum(xi[3:] ** 2)))
+        return float(np.sqrt(np.mean(sq)))
+
+    params_k = OdometryParams(
+        voxel_resolution=1.0, map_capacity=131072, min_voxel_points=4.0,
+        max_iterations=30, keyframe_trans=0.1, keyframe_rot=0.05,
+    )
+    rngk = np.random.RandomState(42)
+    preds_k = [
+        jnp.asarray(np.linalg.inv(T_gt[i - 1]) @ T_gt[i] @ np.asarray(
+            se3.se3_exp(jnp.asarray(rngk.uniform(-0.1, 0.1, 6).astype(np.float32)))))
+        for i in range(1, 5)
+    ]
+    poses_k, ms_k = run_sequence(frames, preds_k, params_k)
+    poses_k2, ms_k = run_sequence(frames, preds_k, params_k)  # warm (compile excluded)
+    emit("kitti07_odometry_ms_per_scan_p50", float(np.median(ms_k)), "ms")
+    emit("kitti07_odometry_ms_per_scan_max", float(np.max(ms_k)), "ms")
+    emit("kitti07_odometry_ate_rmse", ate_stats(poses_k2, T_gt), "m")
+
+    # (b) newer_01: merged edge+plane clouds, identity predictions
+    gt_n = io.load_graph("/root/reference/data/newer_01/graph.txt")
+    T_gt_n = np.asarray(se3.pose_from_xyzq(jnp.asarray(gt_n)))[:5]
+    frames_n = []
+    for i in range(5):
+        e = io.read_points(f"/root/reference/data/newer_01/edges_{i * 10:06d}.bin")
+        p = io.read_points(f"/root/reference/data/newer_01/planes_{i * 10:06d}.bin")
+        fr = make_frame(np.concatenate([e, p]), capacity=131072)
+        frames_n.append(jax.jit(lambda x: voxelgrid_sampling(x, 0.25, capacity=32768))(fr))
+    params_n = OdometryParams(
+        voxel_resolution=1.0, map_capacity=131072, min_voxel_points=4.0,
+        max_iterations=15, keyframe_trans=1e-9, keyframe_rot=1e-9,
+    )
+    eye_preds = [jnp.eye(4)] * 4
+    poses_n, ms_n = run_sequence(frames_n, eye_preds, params_n)
+    poses_n2, ms_n = run_sequence(frames_n, eye_preds, params_n)
+    emit("newer01_odometry_ms_per_scan_p50", float(np.median(ms_n)), "ms")
+    emit("newer01_odometry_ate_rmse", ate_stats(poses_n2, T_gt_n), "m")
+
 
 if __name__ == "__main__":
     main()

@@ -1,0 +1,106 @@
+"""Sequence-level odometry ATE on the bundled datasets (VERDICT r1 item 6):
+scan-to-map VGICP odometry over the kitti_07 submaps and the newer_01
+sequence, absolute trajectory error vs graph.txt held to the reference's
+per-pose bounds (rot < 0.015 rad, trans < 0.15 m,
+src/test/test_matching_cost_factors.cpp:227-228)."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gtsam_points_tpu.ops.downsample import voxelgrid_sampling
+from gtsam_points_tpu.pipelines.odometry import OdometryParams, init_odometry, odometry_step
+from gtsam_points_tpu.types.frame import make_frame
+from gtsam_points_tpu.utils import io, se3
+
+ROT_TOL = 0.015
+TRANS_TOL = 0.15
+
+
+def ate_rmse(poses_est, T_gt):
+    """Gauge-align at pose 0, return (ate_rmse_m, worst_rot, worst_trans)."""
+    delta = T_gt[0] @ np.linalg.inv(np.asarray(poses_est[0]))
+    sq, worst_r, worst_t = [], 0.0, 0.0
+    for i in range(len(T_gt)):
+        T_err = np.linalg.inv(T_gt[i]) @ (delta @ np.asarray(poses_est[i]))
+        xi = np.asarray(se3.se3_log(jnp.asarray(T_err[None]))[0])
+        r, t = np.linalg.norm(xi[:3]), np.linalg.norm(xi[3:])
+        sq.append(t * t)
+        worst_r, worst_t = max(worst_r, r), max(worst_t, t)
+    return float(np.sqrt(np.mean(sq))), worst_r, worst_t
+
+
+def test_newer01_vgicp_odometry_ate(data_root):
+    """VGICP scan-to-map odometry over the newer_01 sequence (BASELINE
+    config 3): merged edge+plane clouds, identity prediction (frames ~0.9 m
+    apart), ATE within reference bounds."""
+    gt = io.load_graph(os.path.join(data_root, "newer_01/graph.txt"))
+    T_gt = np.asarray(se3.pose_from_xyzq(jnp.asarray(gt)))[:5]
+
+    frames = []
+    for i in range(5):
+        e = io.read_points(os.path.join(data_root, f"newer_01/edges_{i * 10:06d}.bin"))
+        p = io.read_points(os.path.join(data_root, f"newer_01/planes_{i * 10:06d}.bin"))
+        f = make_frame(np.concatenate([e, p]), capacity=131072)
+        frames.append(jax.jit(lambda fr: voxelgrid_sampling(fr, 0.25, capacity=32768))(f))
+
+    params = OdometryParams(
+        voxel_resolution=1.0,  # finer voxels under-populate on this sequence
+        map_capacity=131072,
+        min_voxel_points=4.0,
+        max_iterations=15,
+        keyframe_trans=1e-9,  # insert every frame
+        keyframe_rot=1e-9,
+    )
+    state = init_odometry(frames[0], params)
+    poses = [np.eye(4, dtype=np.float32)]
+    eye = jnp.eye(4)
+    for f in frames[1:]:
+        state, T, _ = odometry_step(state, f, params, eye)
+        poses.append(np.asarray(T))
+
+    ate, worst_r, worst_t = ate_rmse(poses, T_gt)
+    assert worst_r < ROT_TOL, f"rot {worst_r}"
+    assert worst_t < TRANS_TOL, f"trans {worst_t}"
+    assert ate < TRANS_TOL
+
+
+def test_kitti07_vgicp_odometry_ate(data_root):
+    """VGICP scan-to-map odometry over all 5 kitti_07 submaps (~15 m apart:
+    predictions = noisy GT deltas per the reference protocol), ATE within
+    reference bounds."""
+    gt = io.load_graph(os.path.join(data_root, "kitti_07_dump/graph.txt"))
+    T_gt = np.asarray(se3.pose_from_xyzq(jnp.asarray(gt)))[:5]
+
+    frames = []
+    for i in range(5):
+        pts = io.read_points(os.path.join(data_root, f"kitti_07_dump/{i:06d}/points.bin"))
+        f = make_frame(pts, capacity=25088)
+        frames.append(jax.jit(lambda fr: voxelgrid_sampling(fr, 0.5, capacity=16384))(f))
+
+    rng = np.random.RandomState(42)
+    params = OdometryParams(
+        voxel_resolution=1.0,
+        map_capacity=131072,
+        min_voxel_points=4.0,
+        max_iterations=30,  # ~15 m inter-submap jumps need the full budget
+        keyframe_trans=0.1,
+        keyframe_rot=0.05,
+    )
+    state = init_odometry(frames[0], params)
+    poses = [np.eye(4, dtype=np.float32)]
+    for i, f in enumerate(frames[1:], start=1):
+        pred = np.linalg.inv(T_gt[i - 1]) @ T_gt[i] @ np.asarray(
+            se3.se3_exp(jnp.asarray(rng.uniform(-0.1, 0.1, 6).astype(np.float32)))
+        )
+        state, T, _ = odometry_step(state, f, params, jnp.asarray(pred))
+        poses.append(np.asarray(T))
+
+    # odometry runs in the first frame's gauge; GT graph poses share it
+    ate, worst_r, worst_t = ate_rmse(poses, T_gt)
+    assert worst_r < ROT_TOL, f"rot {worst_r}"
+    assert worst_t < TRANS_TOL, f"trans {worst_t}"
+    assert ate < TRANS_TOL
