@@ -23,12 +23,25 @@ from gtsam_points_tpu.types.frame import Frame
 from gtsam_points_tpu.utils import se3
 
 _EPS = 1e-6
+# scan-line separation threshold: 0.1 degrees of vertical angle (reference:
+# impl/integrated_loam_factor_impl.hpp:487-530 validate_correspondences)
+_SAME_SCAN_LINE = 0.1 * jnp.pi / 180.0
+
+
+def _vertical_angle(p: jax.Array) -> jax.Array:
+    """Vertical (elevation) angle of each point — the proxy for its LiDAR
+    scan line: atan2(z, |xy|)."""
+    return jnp.arctan2(p[..., 2], jnp.linalg.norm(p[..., :2], axis=-1))
 
 
 @dataclasses.dataclass(frozen=True)
 class PointToEdgeFactor(MatchingFactorMixin):
     """Point-to-line: r = (p - a) x d / |d|, with (a, b) the 2-NN edge points
-    and d = b - a (reference: impl/integrated_loam_factor_impl.hpp point-to-edge)."""
+    and d = b - a (reference: impl/integrated_loam_factor_impl.hpp point-to-edge).
+
+    validate_scan_lines rejects correspondences whose two neighbors lie on the
+    same scan line (a degenerate edge; reference validate_correspondences hook,
+    integrated_loam_factor.hpp:77-81)."""
 
     target: Frame
     source: Frame
@@ -39,6 +52,7 @@ class PointToEdgeFactor(MatchingFactorMixin):
     max_corr_dist: float
     num_neighbor_cells: int
     max_points_per_cell: int
+    validate_scan_lines: bool = False
 
     def residual_closure(self, T_t, T_s):
         delta = se3.se3_inverse(T_t) @ T_s
@@ -52,6 +66,8 @@ class PointToEdgeFactor(MatchingFactorMixin):
         ok = valid[:, 0] & valid[:, 1]
         a = self.target.points[jnp.maximum(idx[:, 0], 0)]
         b = self.target.points[jnp.maximum(idx[:, 1], 0)]
+        if self.validate_scan_lines:
+            ok = ok & (jnp.abs(_vertical_angle(a) - _vertical_angle(b)) >= _SAME_SCAN_LINE)
         d = b - a
         dn = jnp.linalg.norm(d, axis=-1, keepdims=True)
         ok = ok & (dn[:, 0] > _EPS)
@@ -69,7 +85,11 @@ class PointToEdgeFactor(MatchingFactorMixin):
 @dataclasses.dataclass(frozen=True)
 class PointToPlaneLOAMFactor(MatchingFactorMixin):
     """Point-to-3pt-plane: r = n·(p - a)/|n|, n = (b-a)x(c-a), with (a,b,c)
-    the 3-NN plane points."""
+    the 3-NN plane points.
+
+    validate_scan_lines rejects correspondences whose three neighbors all lie
+    on one scan line (reference validate_correspondences hook,
+    integrated_loam_factor.hpp:77-81)."""
 
     target: Frame
     source: Frame
@@ -80,6 +100,7 @@ class PointToPlaneLOAMFactor(MatchingFactorMixin):
     max_corr_dist: float
     num_neighbor_cells: int
     max_points_per_cell: int
+    validate_scan_lines: bool = False
 
     def residual_closure(self, T_t, T_s):
         delta = se3.se3_inverse(T_t) @ T_s
@@ -94,6 +115,10 @@ class PointToPlaneLOAMFactor(MatchingFactorMixin):
         a = self.target.points[jnp.maximum(idx[:, 0], 0)]
         b = self.target.points[jnp.maximum(idx[:, 1], 0)]
         c = self.target.points[jnp.maximum(idx[:, 2], 0)]
+        if self.validate_scan_lines:
+            va, vb, vc = _vertical_angle(a), _vertical_angle(b), _vertical_angle(c)
+            same = (jnp.abs(va - vb) < _SAME_SCAN_LINE) & (jnp.abs(va - vc) < _SAME_SCAN_LINE)
+            ok = ok & jnp.logical_not(same)
         n = jnp.cross(b - a, c - a)
         nn = jnp.linalg.norm(n, axis=-1, keepdims=True)
         ok = ok & (nn[:, 0] > _EPS)
@@ -143,7 +168,11 @@ def make_loam_factor(
     num_neighbor_cells: int = 27,
     max_points_per_cell: int = 16,
     fixed_target_pose: Optional[jax.Array] = None,
+    enable_correspondence_validation: bool = False,
 ) -> LOAMFactor:
+    """`enable_correspondence_validation` mirrors the reference's
+    set_enable_correspondence_validation (scan-line rejection,
+    integrated_loam_factor.hpp:64, :77-81)."""
     if fixed_target_pose is None:
         fixed_target_pose = jnp.eye(4, dtype=jnp.float32)
     edge = PointToEdgeFactor(
@@ -156,6 +185,7 @@ def make_loam_factor(
         max_corr_dist=max_corr_dist,
         num_neighbor_cells=num_neighbor_cells,
         max_points_per_cell=max_points_per_cell,
+        validate_scan_lines=enable_correspondence_validation,
     )
     plane = PointToPlaneLOAMFactor(
         target=target_planes,
@@ -167,12 +197,13 @@ def make_loam_factor(
         max_corr_dist=max_corr_dist,
         num_neighbor_cells=num_neighbor_cells,
         max_points_per_cell=max_points_per_cell,
+        validate_scan_lines=enable_correspondence_validation,
     )
     return LOAMFactor(edge=edge, plane=plane, target_key=target_key, source_key=source_key)
 
 
 _loam_fields = ["target", "source", "grid", "fixed_target_pose"]
-_loam_meta = ["target_key", "source_key", "max_corr_dist", "num_neighbor_cells", "max_points_per_cell"]
+_loam_meta = ["target_key", "source_key", "max_corr_dist", "num_neighbor_cells", "max_points_per_cell", "validate_scan_lines"]
 register_factor(PointToEdgeFactor, data_fields=_loam_fields, meta_fields=_loam_meta)
 register_factor(PointToPlaneLOAMFactor, data_fields=_loam_fields, meta_fields=_loam_meta)
 register_factor(LOAMFactor, data_fields=["edge", "plane"], meta_fields=["target_key", "source_key"])

@@ -46,7 +46,9 @@ from gtsam_points_tpu.types.frame import Frame
 #   [0]     count
 #   [1:4]   sum p
 #   [4:10]  sum p pT upper triangle (xx, xy, xz, yy, yz, zz) (+ sum covs)
-#   [10:16] pad
+#   [10]    sum intensity   (reference: GaussianVoxel accumulates intensity,
+#           types/gaussian_voxelmap_cpu.hpp:13-128)
+#   [11:16] pad
 _MOM_LANES = 16
 
 
@@ -92,17 +94,29 @@ class GaussianVoxelMap(NamedTuple):
     def cov(self) -> jax.Array:
         return finalize_cov(self.moments)
 
+    @property
+    def intensity(self) -> jax.Array:
+        return finalize_intensity(self.moments)
+
     def as_frame(self) -> Frame:
         """Expose voxel statistics as a Frame (the reference exposes voxelmaps
-        through frame-traits the same way, ann/impl/incremental_voxelmap_impl.hpp:163-228)."""
+        through frame-traits the same way, ann/impl/incremental_voxelmap_impl.hpp:163-228).
+        Per-voxel mean intensity rides along, so colored/intensity factors
+        consume a voxel map directly."""
         valid = self.keys != vk.INVALID_KEY
         pts = jnp.where(valid[:, None], self.mean, 0.0)
-        return Frame(points=pts, mask=valid, covs=self.cov)
+        return Frame(points=pts, mask=valid, covs=self.cov, intensities=self.intensity)
 
 
 def finalize_mean(moments: jax.Array) -> jax.Array:
     cnt = jnp.maximum(moments[..., 0], 1.0)
     return moments[..., 1:4] / cnt[..., None]
+
+
+def finalize_intensity(moments: jax.Array) -> jax.Array:
+    """Per-voxel mean intensity (0 where no intensities were accumulated)."""
+    cnt = jnp.maximum(moments[..., 0], 1.0)
+    return moments[..., 10] / cnt
 
 
 def finalize_cov(moments: jax.Array) -> jax.Array:
@@ -121,7 +135,12 @@ def finalize_cov(moments: jax.Array) -> jax.Array:
     return jnp.stack([row0, row1, row2], axis=-2)
 
 
-def point_moments(points: jax.Array, covs: Optional[jax.Array], w: jax.Array) -> jax.Array:
+def point_moments(
+    points: jax.Array,
+    covs: Optional[jax.Array],
+    w: jax.Array,
+    intensities: Optional[jax.Array] = None,
+) -> jax.Array:
     """Per-point moment rows [N, 16] weighted by w (0/1 mask)."""
     p = points
     upper = jnp.stack(
@@ -136,8 +155,15 @@ def point_moments(points: jax.Array, covs: Optional[jax.Array], w: jax.Array) ->
             [covs[:, 0, 0], covs[:, 0, 1], covs[:, 0, 2], covs[:, 1, 1], covs[:, 1, 2], covs[:, 2, 2]],
             axis=-1,
         )
-    pad = jnp.zeros((p.shape[0], _MOM_LANES - 10), jnp.float32)
-    rows = jnp.concatenate([jnp.ones((p.shape[0], 1), jnp.float32), p, upper, pad], axis=-1)
+    inten = (
+        intensities[:, None]
+        if intensities is not None
+        else jnp.zeros((p.shape[0], 1), jnp.float32)
+    )
+    pad = jnp.zeros((p.shape[0], _MOM_LANES - 11), jnp.float32)
+    rows = jnp.concatenate(
+        [jnp.ones((p.shape[0], 1), jnp.float32), p, upper, inten, pad], axis=-1
+    )
     return rows * w[:, None]
 
 
@@ -175,7 +201,7 @@ def _scan_moments(frame: Frame, leaf, capacity: int):
     seg = jnp.cumsum(is_new.astype(jnp.int32)) - 1
     slot = jnp.where(valid, jnp.minimum(seg, capacity), capacity)
 
-    rows = point_moments(frame.points, frame.covs, frame.mask.astype(jnp.float32))[order]
+    rows = point_moments(frame.points, frame.covs, frame.mask.astype(jnp.float32), frame.intensities)[order]
     mom = jnp.zeros((capacity + 1, _MOM_LANES), jnp.float32).at[slot].add(rows)[:capacity]
     out_keys = jnp.full((capacity + 1,), vk.INVALID_KEY, jnp.int32).at[
         jnp.where(is_new, jnp.minimum(seg, capacity), capacity)
@@ -262,7 +288,7 @@ def insert_frame_fast(vmap: GaussianVoxelMap, frame: Frame):
     cap = vmap.capacity
     slot = jnp.where(w > 0, row, cap)
 
-    rows = point_moments(frame.points, frame.covs, w)
+    rows = point_moments(frame.points, frame.covs, w, frame.intensities)
     mom = jnp.concatenate([vmap.moments, jnp.zeros((1, _MOM_LANES), jnp.float32)]).at[slot].add(rows)[:cap]
 
     epoch = vmap.epoch + 1
@@ -357,7 +383,7 @@ def insert_frame_incremental(vmap: GaussianVoxelMap, frame: Frame):
     epoch = vmap.epoch + 1
     keys = vk.point_keys(frame.points, frame.mask, vmap.leaf)
     row, found = _probe(vmap.hash_index, vmap.keys, keys)
-    rows_mom = point_moments(frame.points, frame.covs, frame.mask.astype(jnp.float32))
+    rows_mom = point_moments(frame.points, frame.covs, frame.mask.astype(jnp.float32), frame.intensities)
 
     # 1) accumulate into existing voxels
     slot_exist = jnp.where(found, row, cap)

@@ -32,6 +32,12 @@ class Frame:
     covs:        [N, 3, 3] float32 or None
     intensities: [N] float32 or None
     times:       [N] float32 or None (per-point timestamps, seconds)
+    aux:         dict name -> [N, ...] float32, or None — arbitrary per-point
+                 auxiliary attributes (reference: PointCloud::aux_attributes,
+                 include/gtsam_points/types/point_cloud.hpp:57). Carried as a
+                 pytree branch: gathered by sample(), concatenated by
+                 merge_frames(), saved/loaded by the npz round-trip; geometric
+                 ops leave values untouched.
     """
 
     points: jax.Array
@@ -40,6 +46,7 @@ class Frame:
     covs: Optional[jax.Array] = None
     intensities: Optional[jax.Array] = None
     times: Optional[jax.Array] = None
+    aux: Optional[dict] = None
 
     @property
     def capacity(self) -> int:
@@ -64,6 +71,12 @@ class Frame:
     def has_times(self) -> bool:
         return self.times is not None
 
+    def aux_attribute(self, name: str) -> jax.Array:
+        """Fetch an aux attribute (reference: PointCloud::aux_attribute)."""
+        if self.aux is None or name not in self.aux:
+            raise KeyError(f"no aux attribute {name!r}")
+        return self.aux[name]
+
 
 def _round_capacity(n: int, multiple: int = 256) -> int:
     return max(multiple, ((n + multiple - 1) // multiple) * multiple)
@@ -77,6 +90,7 @@ def make_frame(
     times=None,
     capacity: Optional[int] = None,
     pad_multiple: int = 256,
+    aux: Optional[dict] = None,
 ) -> Frame:
     """Build a Frame from host arrays, padding to a lane-friendly capacity.
 
@@ -111,6 +125,7 @@ def make_frame(
         covs=pad(covs),
         intensities=pad(intensities),
         times=pad(times),
+        aux=None if aux is None else {k: pad(v) for k, v in aux.items()},
     )
 
 
@@ -139,6 +154,12 @@ def merge_frames(frames, capacity: Optional[int] = None) -> Frame:
 
     points = cat("points")
     mask = jnp.concatenate([f.mask for f in frames], axis=0)
+    aux = None
+    if all(f.aux is not None for f in frames):
+        common = set(frames[0].aux)
+        for f in frames[1:]:
+            common &= set(f.aux)
+        aux = {k: jnp.concatenate([f.aux[k] for f in frames], axis=0) for k in sorted(common)}
     out = Frame(
         points=points,
         mask=mask,
@@ -146,6 +167,7 @@ def merge_frames(frames, capacity: Optional[int] = None) -> Frame:
         covs=cat("covs"),
         intensities=cat("intensities"),
         times=cat("times"),
+        aux=aux,
     )
     if capacity is not None:
         out = pad_frame(out, capacity)
@@ -173,6 +195,7 @@ def pad_frame(frame: Frame, capacity: int) -> Frame:
         covs=fix(frame.covs),
         intensities=fix(frame.intensities),
         times=fix(frame.times),
+        aux=None if frame.aux is None else {k: fix(v) for k, v in frame.aux.items()},
     )
 
 

@@ -23,6 +23,7 @@ def sample(frame: Frame, indices: jax.Array) -> Frame:
         covs=take(frame.covs),
         intensities=take(frame.intensities),
         times=take(frame.times),
+        aux=None if frame.aux is None else {k: take(v) for k, v in frame.aux.items()},
     )
 
 

@@ -57,6 +57,9 @@ def save_frame_npz(path: str, frame) -> None:
         value = getattr(frame, name)
         if value is not None:
             arrays[name] = np.asarray(value)
+    if getattr(frame, "aux", None):
+        for k, v in frame.aux.items():
+            arrays[f"aux__{k}"] = np.asarray(v)
     np.savez_compressed(path, **arrays)
 
 
@@ -66,8 +69,9 @@ def load_frame_npz(path: str):
     import jax.numpy as jnp
 
     data = np.load(path)
-    kwargs = {k: jnp.asarray(data[k]) for k in data.files}
-    return Frame(**kwargs)
+    kwargs = {k: jnp.asarray(data[k]) for k in data.files if not k.startswith("aux__")}
+    aux = {k[len("aux__"):]: jnp.asarray(data[k]) for k in data.files if k.startswith("aux__")}
+    return Frame(**kwargs, aux=aux or None)
 
 
 def data_root() -> str:

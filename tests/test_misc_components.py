@@ -164,3 +164,106 @@ def test_stats_utils():
     assert 1 not in win
     with pytest.raises(IndexError):
         win[0]
+
+
+def test_frame_aux_attributes_roundtrip(tmp_path):
+    """Aux attribute map (reference: PointCloud::aux_attributes,
+    types/point_cloud.hpp:57): carried through make/sample/merge and the npz
+    round-trip."""
+    from gtsam_points_tpu.types.frame import make_frame, merge_frames
+    from gtsam_points_tpu.types.frame_funcs import sample
+    from gtsam_points_tpu.utils.io import load_frame_npz, save_frame_npz
+
+    rng = np.random.RandomState(0)
+    pts = rng.randn(100, 3).astype(np.float32)
+    ring = rng.randint(0, 64, 100).astype(np.float32)
+    feat = rng.randn(100, 4).astype(np.float32)
+    f = make_frame(pts, capacity=128, aux={"ring": ring, "feat": feat})
+    np.testing.assert_allclose(np.asarray(f.aux_attribute("ring"))[:100], ring)
+    assert f.aux_attribute("feat").shape == (128, 4)
+
+    picked = sample(f, jnp.asarray([3, 7, 11]))
+    np.testing.assert_allclose(np.asarray(picked.aux["ring"]), ring[[3, 7, 11]])
+
+    merged = merge_frames([f, f])
+    assert merged.aux["feat"].shape[0] == 256
+
+    path = str(tmp_path / "frame.npz")
+    save_frame_npz(path, f)
+    f2 = load_frame_npz(path)
+    np.testing.assert_allclose(np.asarray(f2.aux["feat"]), np.asarray(f.aux["feat"]))
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError):
+        f.aux_attribute("missing")
+
+
+def test_voxelmap_intensity_moments():
+    """Voxel maps accumulate per-voxel mean intensity (reference:
+    GaussianVoxel intensity accumulation, types/gaussian_voxelmap_cpu.hpp:13-128)
+    and expose it through as_frame for colored/intensity factors."""
+    from gtsam_points_tpu.ops.voxelmap import build_voxelmap
+    from gtsam_points_tpu.types.frame import make_frame
+
+    rng = np.random.RandomState(1)
+    pts = (rng.rand(400, 3) * 5).astype(np.float32)
+    inten = rng.rand(400).astype(np.float32)
+    frame = make_frame(pts, intensities=inten, capacity=512)
+    vmap = build_voxelmap(frame, 1.0)
+
+    # numpy oracle: mean intensity per voxel
+    keys = np.floor(pts / 1.0).astype(np.int64)
+    kid = keys[:, 0] * 10000 + keys[:, 1] * 100 + keys[:, 2]
+    vm_keys = np.asarray(vmap.keys)
+    vm_mean_i = np.asarray(vmap.intensity)
+    vm_pts = np.asarray(vmap.mean)
+    checked = 0
+    for u in np.unique(kid)[:50]:
+        sel = kid == u
+        mu_p = pts[sel].mean(0)
+        mu_i = inten[sel].mean()
+        d = np.linalg.norm(vm_pts - mu_p, axis=1)
+        j = int(np.argmin(d))
+        if d[j] < 1e-4:
+            np.testing.assert_allclose(vm_mean_i[j], mu_i, rtol=1e-4)
+            checked += 1
+    assert checked > 20
+    vf = vmap.as_frame()
+    assert vf.intensities is not None
+
+
+def test_loam_scan_line_validation():
+    """validate_correspondences (reference: integrated_loam_factor.hpp:77-81,
+    impl :487-530): edge correspondences whose 2-NN lie on one scan line
+    (equal vertical angle) are rejected; cross-line edges survive."""
+    from gtsam_points_tpu.factors.loam import PointToEdgeFactor
+    from gtsam_points_tpu.ops.hash_grid import build_hash_grid
+    from gtsam_points_tpu.types.frame import make_frame
+
+    # target: a horizontal ring of points at constant elevation (all one scan
+    # line) + a vertical pole (distinct elevations)
+    theta = np.linspace(0, 2 * np.pi, 64, endpoint=False)
+    ring = np.stack([5 * np.cos(theta), 5 * np.sin(theta), np.zeros(64)], axis=1).astype(np.float32)
+    pole = np.stack([np.full(16, 2.0), np.zeros(16), np.linspace(0.0, 3.0, 16)], axis=1).astype(np.float32)
+    target = make_frame(np.concatenate([ring, pole]), capacity=128)
+    grid = build_hash_grid(target.points, target.mask, 1.0)
+
+    src_ring = make_frame(ring[:32] + np.float32(0.01), capacity=64)
+    src_pole = make_frame(pole + np.float32(0.01), capacity=64)
+
+    def count_ok(source, validate):
+        f = PointToEdgeFactor(
+            target=target, source=source, grid=grid,
+            fixed_target_pose=jnp.eye(4), target_key=-1, source_key=0,
+            max_corr_dist=2.0, num_neighbor_cells=27, max_points_per_cell=16,
+            validate_scan_lines=validate,
+        )
+        rf = f.residual_closure(jnp.eye(4), jnp.eye(4))
+        _, _, ok = rf(jnp.eye(4), jnp.eye(4))
+        return int(jnp.sum(ok))
+
+    # ring sources: neighbors are same-elevation ring points -> all rejected
+    assert count_ok(src_ring, validate=False) > 20
+    assert count_ok(src_ring, validate=True) == 0
+    # pole sources: neighbors at distinct elevations -> survive validation
+    assert count_ok(src_pole, validate=True) > 8
