@@ -267,3 +267,44 @@ def test_loam_scan_line_validation():
     assert count_ok(src_ring, validate=True) == 0
     # pole sources: neighbors at distinct elevations -> survive validation
     assert count_ok(src_pole, validate=True) > 8
+
+
+def test_offload_pool_lru():
+    """Host-offload pool (reference: OffloadableGPU LRU spill,
+    types/offloadable.hpp:19-50): cold entries spill to host under a device
+    budget, touch reloads with identical contents, LRU order respected."""
+    from gtsam_points_tpu.ops.voxelmap import build_voxelmap
+    from gtsam_points_tpu.types.frame import make_frame
+    from gtsam_points_tpu.utils.memory import nbytes
+    from gtsam_points_tpu.utils.offload import OffloadPool
+
+    rng = np.random.RandomState(5)
+    maps = {}
+    for i in range(3):
+        frame = make_frame((rng.rand(512, 3) * 8).astype(np.float32), capacity=512)
+        maps[f"m{i}"] = build_voxelmap(frame, 1.0)
+    per = nbytes(maps["m0"])
+
+    pool = OffloadPool(device_budget_bytes=int(per * 2.5))
+    pool.put("m0", maps["m0"])
+    pool.put("m1", maps["m1"])
+    assert pool.loaded_on_device("m0") and pool.loaded_on_device("m1")
+
+    pool.put("m2", maps["m2"])  # exceeds budget -> oldest (m0) spills
+    assert not pool.loaded_on_device("m0")
+    assert pool.loaded_on_device("m1") and pool.loaded_on_device("m2")
+    assert pool.memory_usage_device() <= pool.budget
+
+    # touch m0: reloads it, evicts the now-coldest (m1)
+    t0 = pool.current_access_time()
+    vm0 = pool.touch("m0")
+    assert pool.loaded_on_device("m0")
+    assert pool.last_accessed_time("m0") > t0
+    assert not pool.loaded_on_device("m1")
+    # contents identical after the round-trip
+    np.testing.assert_array_equal(np.asarray(vm0.keys), np.asarray(maps["m0"].keys))
+    np.testing.assert_allclose(np.asarray(vm0.moments), np.asarray(maps["m0"].moments))
+    # reload/offload report work-done flags like the reference API
+    assert pool.offload("m2") is True
+    assert pool.offload("m2") is False
+    assert pool.reload("m2") is True
