@@ -289,6 +289,54 @@ def main():
     emit("newer01_odometry_ms_per_scan_p50", float(np.median(ms_n)), "ms")
     emit("newer01_odometry_ate_rmse", ate_stats(poses_n2, T_gt_n), "m")
 
+    # --- batched-registration throughput sweep (VERDICT r1 item 7):
+    # B concurrent VGICP registrations as ONE vmapped program, B = 1..16 ---
+    from gtsam_points_tpu.ops import planar
+    from gtsam_points_tpu.ops.voxelmap import lookup_fetch_planar
+
+    vmap_t = jax.jit(lambda f: build_voxelmap(f, 0.5))(target)
+    pts_p = source.points.T
+    smask = source.mask
+    GN_ITERS = 8
+
+    def gn_register(T0):
+        def body(i, T):
+            pm = planar.transform(T, pts_p)
+            found, cnt, mu, C6 = lookup_fetch_planar(vmap_t, pm, smask)
+            found = found & (cnt >= 3.0)
+            eye6 = jnp.asarray([1.0, 0.0, 0.0, 1.0, 0.0, 1.0], C6.dtype) * 1e-3
+            W6 = planar.sym_inv(C6 + eye6[:, None])
+            lin = planar.linearize_point_system(pts_p, pm, pm - mu, W6, found, T[:3, :3])
+            H = lin.H_ss + 1e-6 * jnp.eye(6)
+            xi = jax.scipy.linalg.cho_solve(jax.scipy.linalg.cho_factor(H, lower=True), lin.b_s)
+            return T @ se3.se3_exp(xi)
+
+        return jax.lax.fori_loop(0, GN_ITERS, body, T0)
+
+    rngb = np.random.RandomState(0)
+    for B in (1, 2, 4, 8, 16):
+        fn = jax.jit(jax.vmap(gn_register))
+        T0s = jax.vmap(se3.se3_exp)(jnp.asarray(rngb.uniform(-0.1, 0.1, (B, 6)).astype(np.float32)))
+        out = fn(T0s)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        reps_b = 5
+        for _ in range(reps_b):
+            out = fn(T0s)
+        jax.block_until_ready(out)
+        s = (time.perf_counter() - t0) / reps_b
+        print(
+            json.dumps(
+                {
+                    "metric": f"batched_registration_B{B}_frames_per_s",
+                    "value": round(B / s, 2),
+                    "unit": "frames/s/chip",
+                    "batch": B,
+                }
+            ),
+            flush=True,
+        )
+
 
 if __name__ == "__main__":
     main()

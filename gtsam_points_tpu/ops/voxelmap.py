@@ -98,14 +98,25 @@ class GaussianVoxelMap(NamedTuple):
     def intensity(self) -> jax.Array:
         return finalize_intensity(self.moments)
 
-    def as_frame(self) -> Frame:
+    def as_frame(self, with_normals: bool = False) -> Frame:
         """Expose voxel statistics as a Frame (the reference exposes voxelmaps
         through frame-traits the same way, ann/impl/incremental_voxelmap_impl.hpp:163-228).
         Per-voxel mean intensity rides along, so colored/intensity factors
-        consume a voxel map directly."""
+        consume a voxel map directly; `with_normals` additionally derives
+        per-voxel normals from the covariance (smallest eigenvector), which
+        colored/photometric factors need on the target side."""
         valid = self.keys != vk.INVALID_KEY
         pts = jnp.where(valid[:, None], self.mean, 0.0)
-        return Frame(points=pts, mask=valid, covs=self.cov, intensities=self.intensity)
+        covs = self.cov
+        normals = None
+        if with_normals:
+            from gtsam_points_tpu.ops.eigh3 import eigh3
+
+            _, vecs = eigh3(covs + 1e-9 * jnp.eye(3, dtype=covs.dtype))
+            normals = jnp.where(valid[:, None], vecs[..., 0], 0.0)
+        return Frame(
+            points=pts, mask=valid, covs=covs, normals=normals, intensities=self.intensity
+        )
 
 
 def finalize_mean(moments: jax.Array) -> jax.Array:

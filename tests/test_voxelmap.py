@@ -182,3 +182,45 @@ def test_insert_frame_incremental_overflow_flag():
     vm2, overflow = jax.jit(insert_frame_incremental)(vm, make_frame(pts, capacity=1024))
     assert bool(overflow)
     assert int(vm2.num_voxels) == 256
+
+
+def test_colored_gicp_against_voxelmap():
+    """Colored registration against a VOXEL MAP: voxel intensity moments +
+    as_frame(with_normals=True) feed the colored GICP factor directly
+    (reference: GaussianVoxel intensity accumulation enables the same,
+    types/gaussian_voxelmap_cpu.hpp:13-128)."""
+    import jax
+
+    from gtsam_points_tpu.factors import PriorFactor
+    from gtsam_points_tpu.factors.colored import make_colored_gicp_factor
+    from gtsam_points_tpu.optim import FactorGraph, optimize_lm
+    from gtsam_points_tpu.optim.lm import LMParams
+    from gtsam_points_tpu.utils import se3
+
+    rng = np.random.RandomState(3)
+    # smooth surface with an intensity pattern that breaks translation slip
+    xy = (rng.rand(4000, 2) * 8 - 4).astype(np.float32)
+    z = (0.1 * np.sin(xy[:, 0]) + 0.05 * xy[:, 1]).astype(np.float32)
+    pts = np.concatenate([xy, z[:, None]], axis=1)
+    inten = (np.sin(2.0 * xy[:, 0]) * np.cos(2.0 * xy[:, 1])).astype(np.float32)
+    covs = np.tile((0.01 * np.eye(3, dtype=np.float32))[None], (4000, 1, 1))
+    target = make_frame(pts, covs=covs, intensities=inten, capacity=4096)
+
+    vmap = build_voxelmap(target, 0.5)
+    vframe = vmap.as_frame(with_normals=True)
+    assert vframe.intensities is not None and vframe.normals is not None
+
+    xi = np.asarray([0.01, -0.01, 0.02, 0.15, -0.1, 0.05], dtype=np.float32)
+    T = se3.se3_exp(jnp.asarray(xi))
+    src_pts = np.asarray(se3.transform_points(se3.se3_inverse(T), jnp.asarray(pts)))
+    source = make_frame(src_pts, covs=covs, intensities=inten, capacity=4096)
+
+    graph = FactorGraph(num_poses=2)
+    graph.add(PriorFactor(prior=jnp.eye(4), weights=jnp.full((6,), 1e6), key=0))
+    graph.add(
+        make_colored_gicp_factor(0, 1, vframe, source, max_corr_dist=1.0, grid_leaf=0.5)
+    )
+    poses0 = jnp.stack([jnp.eye(4), jnp.eye(4)])
+    res = jax.jit(lambda p: optimize_lm(graph, p, LMParams(max_iterations=20)))(poses0)
+    rot_e, trans_e = se3.pose_error(T, res.poses[1])
+    assert float(rot_e) < 5e-3 and float(trans_e) < 5e-2, (float(rot_e), float(trans_e))
