@@ -72,7 +72,7 @@ def main():
     vmap = jax.jit(lambda f: build_voxelmap(f, 0.5))(target)
 
     # ---- 1) batched registration throughput ------------------------------
-    B = 16
+    B = 64  # sweep (BENCH notes): 98/174/224/229/369 f/s at B=1/4/16/32/64
     GN_ITERS = 8  # matches the CPU baseline's convergence work (3 LM outers
     #               x (1 linearize + ~2 error evals); GN converges by ~5 here)
     pts_p = source.points.T  # [3, N] planar

@@ -314,7 +314,7 @@ def main():
         return jax.lax.fori_loop(0, GN_ITERS, body, T0)
 
     rngb = np.random.RandomState(0)
-    for B in (1, 2, 4, 8, 16):
+    for B in (1, 2, 4, 8, 16, 64):
         fn = jax.jit(jax.vmap(gn_register))
         T0s = jax.vmap(se3.se3_exp)(jnp.asarray(rngb.uniform(-0.1, 0.1, (B, 6)).astype(np.float32)))
         out = fn(T0s)
