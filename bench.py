@@ -4,14 +4,25 @@ plus single-scan linearize latency, on real KITTI data.
 Two measurements:
 1. vgicp_registration_frames_per_s — B independent scan-to-map VGICP
    registrations (fixed 8-iteration Gauss-Newton, unary pose) run as ONE
-   vmapped jitted program. This is how a TPU should run registration in
-   production (BASELINE.json primary metric "registration frames/s/chip");
-   the batch axis is what the MXU/VPU want and what the single-stream CPU
-   baseline cannot do.
+   vmapped jitted program whose per-iteration hot path is the fused Pallas
+   linearize kernel (ops/pallas_linearize.py). This is how a TPU should run
+   registration in production (BASELINE.json primary metric "registration
+   frames/s/chip"); the batch axis is what the MXU/VPU want and what the
+   single-stream CPU baseline cannot do.
 2. vgicp_linearize_ms_per_scan — one fused scan-to-map linearization
    (voxel lookup + GICP residuals + Jacobians + 12x12 block reduction),
    the hot kernel of every LM iteration (equivalent of the reference's GPU
    linearize pass, src/gtsam_points/cuda/integrated_vgicp_derivatives_linearize.cu).
+
+Measurement protocol: STEADY-STATE MARGINAL cost. The tunneled TPU in this
+image adds a large fixed synchronization cost (~24 ms) to every host-blocking
+round trip of a program that contains a device loop — overhead of the
+development tunnel, not of the TPU program (a plain chained dispatch of
+loop-free programs syncs in ~0.1 ms). Both metrics therefore time two chain
+lengths K1 < K2 of back-to-back executions (data-dependent, so nothing can be
+elided) with ONE final block, and report (t(K2) - t(K1)) / (K2 - K1): the
+per-execution cost with the constant tunnel term differenced out. Raw
+(sync-inclusive) numbers are included in the JSON for transparency.
 
 Baseline: MEASURED on this host by native/src/ref_baseline.cpp — an
 independent C++/OpenMP implementation of the reference's CPU VGICP pipeline
@@ -55,10 +66,9 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
     import gtsam_points_tpu  # pins f32 matmul precision
-    from gtsam_points_tpu.factors import PriorFactor, make_vgicp_factor
     from gtsam_points_tpu.ops import planar
+    from gtsam_points_tpu.ops.pallas_linearize import linearize_fused
     from gtsam_points_tpu.ops.voxelmap import build_voxelmap, lookup_fetch_planar
-    from gtsam_points_tpu.optim import FactorGraph
     from gtsam_points_tpu.types.frame import make_frame
     from gtsam_points_tpu.utils import io, se3
 
@@ -70,25 +80,26 @@ def main():
     source = make_frame(pts1, capacity=cap)
 
     vmap = jax.jit(lambda f: build_voxelmap(f, 0.5))(target)
-
-    # ---- 1) batched registration throughput ------------------------------
-    B = 64  # sweep (BENCH notes): 98/174/224/229/369 f/s at B=1/4/16/32/64
-    GN_ITERS = 8  # matches the CPU baseline's convergence work (3 LM outers
-    #               x (1 linearize + ~2 error evals); GN converges by ~5 here)
     pts_p = source.points.T  # [3, N] planar
     mask = source.mask
+    eye6 = jnp.asarray([1.0, 0.0, 0.0, 1.0, 0.0, 1.0]) * 1e-3
+
+    # ---- 1) batched registration throughput ------------------------------
+    B = 64  # sweep (pallas path, marginal f/s): 530 at B=64; 281 at B=128
+    #         (VMEM pressure); planar path peaks at 389 (B=64)
+    GN_ITERS = 8  # matches the CPU baseline's convergence work (3 LM outers
+    #               x (1 linearize + ~2 error evals); GN converges by ~5 here)
 
     def gn_register(T0):
-        """Unary VGICP registration: fixed target map, optimize source pose."""
+        """Unary VGICP registration: fixed target map, optimize source pose.
+        Per-iteration hot path = fused Pallas linearize (MXU block reduction)."""
 
         def body(i, T):
-            delta = T
-            pm = planar.transform(delta, pts_p)
+            pm = planar.transform(T, pts_p)
             found, cnt, mu, C6 = lookup_fetch_planar(vmap, pm, mask)
-            found = found & (cnt >= 3.0)
-            eye6 = jnp.asarray([1.0, 0.0, 0.0, 1.0, 0.0, 1.0], C6.dtype) * 1e-3
+            fnd = found & (cnt >= 3.0)
             W6 = planar.sym_inv(C6 + eye6[:, None])
-            lin = planar.linearize_point_system(pts_p, pm, pm - mu, W6, found, delta[:3, :3])
+            lin = linearize_fused(pts_p, mu, W6, fnd, T)
             H = lin.H_ss + 1e-6 * jnp.eye(6)
             xi = jax.scipy.linalg.cho_solve(jax.scipy.linalg.cho_factor(H, lower=True), lin.b_s)
             return T @ se3.se3_exp(xi)
@@ -103,43 +114,62 @@ def main():
 
     out = batched_register(T0s)
     jax.block_until_ready(out)
-    reps = 5
-    times = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        for _ in range(reps):
-            out = batched_register(T0s)
-        jax.block_until_ready(out)
-        times.append((time.perf_counter() - t0) / reps)
-    batch_s = sorted(times)[len(times) // 2]
-    frames_per_s = B / batch_s
+
+    def chain_time(K, trials=3):
+        """Median wall time of K back-to-back executions, one final sync.
+        Output feeds the next input, so the chain is truly sequential."""
+        ts = []
+        for _ in range(trials):
+            t0 = time.perf_counter()
+            cur = T0s
+            for _ in range(K):
+                cur = batched_register(cur)
+            jax.block_until_ready(cur)
+            ts.append(time.perf_counter() - t0)
+        return sorted(ts)[len(ts) // 2]
+
+    K1, K2 = 2, 8
+    t1, t2 = chain_time(K1), chain_time(K2)
+    marginal_s = (t2 - t1) / (K2 - K1)
+    raw_s = t2 / K2
+    frames_per_s = B / marginal_s
 
     # ---- 2) single-scan linearize latency --------------------------------
-    graph = FactorGraph(num_poses=2)
-    graph.add(PriorFactor(prior=jnp.eye(4), weights=jnp.full((6,), 1e6), key=0))
-    graph.add(make_vgicp_factor(0, 1, vmap, source, min_voxel_points=3))
-    poses = jnp.stack([jnp.eye(4), jnp.eye(4)])
-    lreps = 50
+    # One fused linearize (transform + voxel lookup + weights + Pallas
+    # linearize) iterated L times inside one program; marginal over two L.
+    def make_loop(lreps):
+        @jax.jit
+        def bench_loop(T):
+            def body(i, carry):
+                T, acc = carry
+                pm = planar.transform(T, pts_p)
+                found, cnt, mu, C6 = lookup_fetch_planar(vmap, pm, mask)
+                fnd = found & (cnt >= 3.0)
+                W6 = planar.sym_inv(C6 + eye6[:, None])
+                lin = linearize_fused(pts_p, mu, W6, fnd, T)
+                T = T.at[:3, 3].add(1e-9 * lin.b_s[3:])
+                return (T, acc + lin.error)
 
-    @jax.jit
-    def bench_loop(poses):
-        def body(i, carry):
-            poses, acc = carry
-            A, b, err = graph.linearize_full(poses)
-            poses = poses.at[1, :3, 3].add(1e-9 * b[6:9])
-            return (poses, acc + err)
+            return jax.lax.fori_loop(0, lreps, body, (T, jnp.float32(0.0)))
 
-        return jax.lax.fori_loop(0, lreps, body, (poses, jnp.float32(0.0)))
+        return bench_loop
 
-    out2 = bench_loop(poses)
-    jax.block_until_ready(out2)
-    ltimes = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        out2 = bench_loop(poses)
-        jax.block_until_ready(out2)
-        ltimes.append(time.perf_counter() - t0)
-    ms_per_scan = sorted(ltimes)[len(ltimes) // 2] / lreps * 1000.0
+    L1, L2 = 10, 210
+    loops = {L: make_loop(L) for L in (L1, L2)}
+    T0 = jnp.eye(4)
+    times = {}
+    for L, fn in loops.items():
+        o = fn(T0)
+        jax.block_until_ready(o)
+        ts = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            o = fn(T0)
+            jax.block_until_ready(o)
+            ts.append(time.perf_counter() - t0)
+        times[L] = sorted(ts)[len(ts) // 2]
+    ms_per_scan = (times[L2] - times[L1]) / (L2 - L1) * 1000.0
+    raw_ms_per_scan = times[L2] / L2 * 1000.0
 
     ref_reg_ms, ref_lin_ms = _load_ref_baseline()
     ref_frames_per_s = 1000.0 / ref_reg_ms
@@ -153,8 +183,12 @@ def main():
                 "batch": B,
                 "gn_iters": GN_ITERS,
                 "baseline_frames_per_s": round(ref_frames_per_s, 2),
+                "raw_frames_per_s": round(B / raw_s, 2),
                 "linearize_ms_per_scan": round(ms_per_scan, 4),
                 "linearize_vs_baseline": round(ref_lin_ms / ms_per_scan, 2),
+                "raw_linearize_ms_per_scan": round(raw_ms_per_scan, 4),
+                "protocol": "steady-state marginal (two chain lengths differenced; "
+                "raw_* = sync-inclusive)",
                 "baseline_source": "REF_BASELINE.json (measured, native/src/ref_baseline.cpp)",
             }
         )

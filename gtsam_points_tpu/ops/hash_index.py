@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from gtsam_points_tpu.ops import voxel_keys as vk
 
@@ -27,8 +28,8 @@ HASH_SIZE = 1 << HASH_BITS
 MIN_HASH_SIZE = 1 << 12
 
 _MIX = (
-    (jnp.uint32(0x85EBCA6B), jnp.uint32(0xC2B2AE35)),
-    (jnp.uint32(0xCC9E2D51), jnp.uint32(0x1B873593)),
+    (np.uint32(0x85EBCA6B), np.uint32(0xC2B2AE35)),
+    (np.uint32(0xCC9E2D51), np.uint32(0x1B873593)),
 )
 
 
@@ -46,7 +47,7 @@ def hash_key(key: jax.Array, which: int = 0, size: int = HASH_SIZE) -> jax.Array
     h = (h ^ (h >> 16)) * m1
     h = (h ^ (h >> 13)) * m2
     h = h ^ (h >> 16)
-    return (h & jnp.uint32(size - 1)).astype(jnp.int32)
+    return (h & np.uint32(size - 1)).astype(jnp.int32)
 
 
 def empty_hash_index(size: int) -> jax.Array:
@@ -67,7 +68,7 @@ def build_hash_index(keys: jax.Array, size: int | None = None) -> jax.Array:
         size = table_size_for(keys.shape[0])
     valid = keys != vk.INVALID_KEY
     rows = jnp.arange(keys.shape[0], dtype=jnp.int32)
-    sentinel = jnp.int32(0x7FFFFFFF)
+    sentinel = np.int32(0x7FFFFFFF)
 
     slots1 = jnp.where(valid, hash_key(keys, 0, size), size)
     t1 = jnp.full((size + 1,), sentinel).at[slots1].min(rows)[:size]

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 BITS = 10  # per axis -> 2^10 voxels per axis, 30-bit keys
 RANGE = 1 << BITS
@@ -26,7 +27,8 @@ HALF = RANGE // 2
 MASK = RANGE - 1
 
 # Sentinel key larger than any packed key (packed keys < 2^30).
-INVALID_KEY = jnp.int32(0x7FFFFFFF)
+INVALID_KEY = np.int32(0x7FFFFFFF)  # numpy scalar: folds as a literal at
+# lowering instead of a device-array constant (a device fetch per jit lower)
 
 
 def fast_floor(x: jax.Array) -> jax.Array:

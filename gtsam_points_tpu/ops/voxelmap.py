@@ -196,8 +196,8 @@ def empty_voxelmap(leaf: float, capacity: int) -> GaussianVoxelMap:
         keys=jnp.full((capacity,), vk.INVALID_KEY, dtype=jnp.int32),
         moments=jnp.zeros((capacity, _MOM_LANES), dtype=jnp.float32),
         last_seen=jnp.zeros((capacity,), dtype=jnp.int32),
-        epoch=jnp.int32(0),
-        num_voxels=jnp.int32(0),
+        epoch=jnp.zeros((), jnp.int32),
+        num_voxels=jnp.zeros((), jnp.int32),
         hash_index=_empty_hash_index(table_size_for(capacity)),
     )
 
@@ -430,7 +430,7 @@ def insert_frame_incremental(vmap: GaussianVoxelMap, frame: Frame):
     u_keys = jnp.where(is_new, skeys, vk.INVALID_KEY)
     u_rows = jnp.where(is_new & (dest < cap), dest, cap)
     size = vmap.hash_index.shape[-2]
-    sentinel = jnp.int32(0x7FFFFFFF)
+    sentinel = np.int32(0x7FFFFFFF)
     t1 = jnp.where(vmap.hash_index[0, :, 0] < 0, sentinel, vmap.hash_index[0, :, 0])
     k1 = vmap.hash_index[0, :, 1]
     s1 = jnp.where(u_rows < cap, _hash_key(u_keys, 0, size), size)

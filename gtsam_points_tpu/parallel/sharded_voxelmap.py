@@ -48,8 +48,8 @@ from gtsam_points_tpu.ops.voxelmap import (
 from gtsam_points_tpu.types.frame import Frame
 from gtsam_points_tpu.utils import se3
 
-_SHARD_MIX1 = jnp.uint32(0x9E3779B1)
-_SHARD_MIX2 = jnp.uint32(0x85EBCA77)
+_SHARD_MIX1 = np.uint32(0x9E3779B1)
+_SHARD_MIX2 = np.uint32(0x85EBCA77)
 
 
 def shard_of_keys(keys: jax.Array, num_shards: int) -> jax.Array:
@@ -59,7 +59,7 @@ def shard_of_keys(keys: jax.Array, num_shards: int) -> jax.Array:
     h = (h ^ (h >> 15)) * _SHARD_MIX1
     h = (h ^ (h >> 13)) * _SHARD_MIX2
     h = h ^ (h >> 16)
-    return (h % jnp.uint32(num_shards)).astype(jnp.int32)
+    return (h % np.uint32(num_shards)).astype(jnp.int32)
 
 
 def _shard_mask(frame: Frame, leaf, num_shards: int, shard_id: jax.Array) -> jax.Array:
