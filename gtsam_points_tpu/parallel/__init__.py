@@ -1,4 +1,4 @@
-from gtsam_points_tpu.parallel.sharding import make_mesh, shard_frame, replicate
+from gtsam_points_tpu.parallel.sharding import make_mesh, make_mesh_2d, shard_frame, replicate
 from gtsam_points_tpu.parallel.sharded_voxelmap import (
     VGICPShardedFactor,
     build_sharded_voxelmap,

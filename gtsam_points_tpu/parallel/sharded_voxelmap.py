@@ -99,8 +99,14 @@ def sharded_insert_frame(svmap: GaussianVoxelMap, frame: Frame) -> GaussianVoxel
     return jax.vmap(one)(svmap, jnp.arange(num_shards, dtype=jnp.int32))
 
 
-def place_sharded(svmap: GaussianVoxelMap, mesh: Mesh, axis: str = "shard") -> GaussianVoxelMap:
-    """device_put every leaf sharded on its leading [num_shards] axis."""
+def place_sharded(svmap: GaussianVoxelMap, mesh: Mesh, axis="shard") -> GaussianVoxelMap:
+    """device_put every leaf sharded on its leading [num_shards] axis.
+
+    `axis` may be a mesh-axis name or a TUPLE of names: on a 2-level
+    (host, chip) mesh (parallel/sharding.make_mesh_2d), pass
+    axis=("host", "chip") to split the shard axis over ALL devices —
+    num_shards must then equal n_hosts * chips_per_host, and the linearize
+    psum becomes a hierarchical ICI-then-DCN reduction."""
 
     def put(x):
         return jax.device_put(x, NamedSharding(mesh, P(axis, *([None] * (x.ndim - 1)))))

@@ -33,6 +33,29 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = "point") -> Mesh:
     return Mesh(np.asarray(devs[:n]), (axis,))
 
 
+def make_mesh_2d(
+    n_hosts: Optional[int] = None,
+    chips_per_host: Optional[int] = None,
+    axes=("host", "chip"),
+) -> Mesh:
+    """Two-level mesh for multi-host deployments: the leading axis maps onto
+    DCN (across hosts), the trailing axis onto ICI (chips within a host) —
+    the layout jax gives multi-host pods when the device order is
+    host-major (which `jax.devices()` guarantees). Collectives over the
+    "chip" axis ride ICI; only reductions over "host" touch DCN, so layouts
+    should psum over "chip" first (or over both axes at once and let XLA
+    build the hierarchical reduction). On a single host this still shapes
+    the program exactly as the pod would run it — the basis of the virtual
+    multi-host tests."""
+    devs = jax.devices()
+    if n_hosts is None:
+        n_hosts = max(len({d.process_index for d in devs}), 1)
+    if chips_per_host is None:
+        chips_per_host = len(devs) // n_hosts
+    n = n_hosts * chips_per_host
+    return Mesh(np.asarray(devs[:n]).reshape(n_hosts, chips_per_host), axes)
+
+
 def shard_frame(frame: Frame, mesh: Mesh, axis: str = "point") -> Frame:
     """Place every per-point leaf of a Frame sharded along the mesh axis.
     Capacity must be divisible by the axis size."""

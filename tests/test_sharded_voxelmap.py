@@ -190,3 +190,48 @@ def test_distributed_pose_graph_with_evm_ba():
     res = jax.jit(lambda p: optimize_lm(graph, p, LMParams(max_iterations=15)))(poses0)
     rot_e, trans_e = se3.pose_error(T1, res.poses[1])
     assert float(rot_e) < 3e-3 and float(trans_e) < 3e-2, (float(rot_e), float(trans_e))
+
+
+def test_sharded_linearize_2d_host_chip_mesh():
+    """Multi-host layout on a virtual (2 hosts x 4 chips) mesh
+    (parallel/sharding.make_mesh_2d): the shard axis splits over BOTH mesh
+    axes and the Linearized psum becomes a hierarchical chip(ICI)-then-
+    host(DCN) reduction. Result must match the replicated map."""
+    devs = jax.devices()
+    if len(devs) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from gtsam_points_tpu.parallel import make_mesh_2d
+
+    mesh = make_mesh_2d(n_hosts=2, chips_per_host=4)
+    frame = _scene()
+    xi = np.asarray([0.02, -0.01, 0.03, 0.2, -0.1, 0.15], dtype=np.float32)
+    T = se3.se3_exp(jnp.asarray(xi))
+    src = make_frame(
+        np.asarray(se3.transform_points(se3.se3_inverse(T), frame.points)),
+        covs=np.asarray(frame.covs),
+        capacity=frame.capacity,
+    )
+    vmap = build_voxelmap(frame, 1.0)
+    axis = ("host", "chip")
+    svmap = place_sharded(
+        build_sharded_voxelmap(frame, 1.0, num_shards=8, capacity_per_shard=frame.capacity // 4),
+        mesh,
+        axis=axis,
+    )
+    ref_factor = make_vgicp_factor(0, 1, vmap, src, min_voxel_points=4)
+    poses = jnp.stack([jnp.eye(4), jnp.eye(4)])
+    lin_ref = ref_factor.linearize(poses)
+    lin_sh = jax.jit(
+        lambda sv, s, d: linearize_vgicp_sharded(sv, s, d, mesh, axis=axis, min_voxel_points=4.0)
+    )(svmap, src, jnp.eye(4))
+    np.testing.assert_allclose(np.asarray(lin_sh.num_inliers), np.asarray(lin_ref.num_inliers), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(lin_sh.error), np.asarray(lin_ref.error), rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(lin_sh.H_ss), np.asarray(lin_ref.H_ss), rtol=2e-3, atol=2e-2)
+
+    # the sharded factor also optimizes on the 2D mesh
+    graph = FactorGraph(num_poses=2)
+    graph.add(PriorFactor(prior=jnp.eye(4), weights=jnp.full((6,), 1e6), key=0))
+    graph.add(make_vgicp_sharded_factor(0, 1, svmap, src, mesh, axis=axis, min_voxel_points=4.0))
+    res = jax.jit(lambda p: optimize_lm(graph, p, LMParams(max_iterations=15)))(poses)
+    rot_e, trans_e = se3.pose_error(T, res.poses[1])
+    assert float(rot_e) < 2e-3 and float(trans_e) < 2e-2
