@@ -504,8 +504,11 @@ def vgicp_scan_linearize(
     vmap, p_src, mask, delta, min_voxel_points, eps=1e-3, src_covs6=None
 ) -> Linearized:
     """One-call scan-to-map VGICP linearize: transform + hash probe + raw
-    moment gather (XLA) feeding the moments-fused kernel. The hot path of the
-    batched registration bench (bench.py)."""
+    moment gather (XLA) feeding the moments-fused kernel. Drop-in for GN
+    registration loops (bench.py's gn_register body is the linearize_fused
+    equivalent; this variant additionally fuses finalize+weights in-kernel —
+    validated in interpret mode + CPU fallback, see
+    tests/test_pallas_linearize.py)."""
     from gtsam_points_tpu.ops import planar as _planar
     from gtsam_points_tpu.ops import voxel_keys as _vk
     from gtsam_points_tpu.ops.hash_index import probe as _hprobe
