@@ -66,9 +66,8 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
     import gtsam_points_tpu  # pins f32 matmul precision
-    from gtsam_points_tpu.ops import planar
-    from gtsam_points_tpu.ops.pallas_linearize import linearize_fused
-    from gtsam_points_tpu.ops.voxelmap import build_voxelmap, lookup_fetch_planar
+    from gtsam_points_tpu.ops.pallas_linearize import vgicp_scan_linearize
+    from gtsam_points_tpu.ops.voxelmap import build_voxelmap
     from gtsam_points_tpu.types.frame import make_frame
     from gtsam_points_tpu.utils import io, se3
 
@@ -82,7 +81,6 @@ def main():
     vmap = jax.jit(lambda f: build_voxelmap(f, 0.5))(target)
     pts_p = source.points.T  # [3, N] planar
     mask = source.mask
-    eye6 = jnp.asarray([1.0, 0.0, 0.0, 1.0, 0.0, 1.0]) * 1e-3
 
     # ---- 1) batched registration throughput ------------------------------
     B = 64  # sweep (pallas path, marginal f/s): 530 at B=64; 281 at B=128
@@ -92,14 +90,12 @@ def main():
 
     def gn_register(T0):
         """Unary VGICP registration: fixed target map, optimize source pose.
-        Per-iteration hot path = fused Pallas linearize (MXU block reduction)."""
+        Per-iteration hot path = moments-fused Pallas kernel (probe + raw
+        moment gather in XLA; finalize + weights + Jacobians + MXU block
+        reduction in one VMEM-resident pass)."""
 
         def body(i, T):
-            pm = planar.transform(T, pts_p)
-            found, cnt, mu, C6 = lookup_fetch_planar(vmap, pm, mask)
-            fnd = found & (cnt >= 3.0)
-            W6 = planar.sym_inv(C6 + eye6[:, None])
-            lin = linearize_fused(pts_p, mu, W6, fnd, T)
+            lin = vgicp_scan_linearize(vmap, pts_p, mask, T, 3.0)
             H = lin.H_ss + 1e-6 * jnp.eye(6)
             xi = jax.scipy.linalg.cho_solve(jax.scipy.linalg.cho_factor(H, lower=True), lin.b_s)
             return T @ se3.se3_exp(xi)
@@ -142,11 +138,7 @@ def main():
         def bench_loop(T):
             def body(i, carry):
                 T, acc = carry
-                pm = planar.transform(T, pts_p)
-                found, cnt, mu, C6 = lookup_fetch_planar(vmap, pm, mask)
-                fnd = found & (cnt >= 3.0)
-                W6 = planar.sym_inv(C6 + eye6[:, None])
-                lin = linearize_fused(pts_p, mu, W6, fnd, T)
+                lin = vgicp_scan_linearize(vmap, pts_p, mask, T, 3.0)
                 T = T.at[:3, 3].add(1e-9 * lin.b_s[3:])
                 return (T, acc + lin.error)
 
