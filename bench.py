@@ -1,36 +1,49 @@
 """Headline benchmark: batched VGICP registration throughput (frames/s/chip)
-plus single-scan linearize latency, on real KITTI data.
+plus single-scan linearize latency, on real KITTI data — with in-bench
+self-defense (path racing, tunnel-health probe, convergence gate).
 
-Two measurements:
+Workload (the reference's own test protocol, src/test/
+test_matching_cost_factors.cpp:84,181): kitti_07 scans 0/1, per-point
+covariances (k=10 kNN, eig-regularized), leaf-1.0 Gaussian voxel map built
+from the target frame, unary VGICP factor with fused mahalanobis
+C_vox + R C_src R^T, initial poses = T_rel (graph.txt ground truth) composed
+with uniform(-0.1, 0.1) twist noise. Round 2 registered from a near-identity
+init ~3 m away from the true relative pose (21% voxel overlap) — a
+non-convergent workload whose optimum wandered; the corrected protocol
+converges to <0.01 m of ground truth on BOTH sides (the C++ baseline's
+registration reports trans_err_vs_gt 0.0087 m, and this bench asserts its
+own convergence below).
+
+Measurements:
 1. vgicp_registration_frames_per_s — B independent scan-to-map VGICP
-   registrations (fixed 8-iteration Gauss-Newton, unary pose) run as ONE
-   vmapped jitted program whose per-iteration hot path is the fused Pallas
-   linearize kernel (ops/pallas_linearize.py). This is how a TPU should run
-   registration in production (BASELINE.json primary metric "registration
-   frames/s/chip"); the batch axis is what the MXU/VPU want and what the
-   single-stream CPU baseline cannot do.
+   registrations run as ONE vmapped jitted program (coarse-to-fine GN:
+   3 iterations against a leaf-2.0 map, 8 against the leaf-1.0 map; hot
+   path = moments-fused Pallas linearize; convergence-work comparable to
+   the CPU baseline's 5-iteration LM with its ~7 error evaluations, and
+   both converge to < 0.01 m of GT). vs_baseline divides by the MEASURED
+   CPU registration rate
+   (REF_BASELINE.json, cov workload, best thread count). If the batch does
+   not converge to ground truth within the reference accuracy bounds
+   (rot < 0.015 rad, trans < 0.15 m — test_matching_cost_factors.cpp:227),
+   vs_baseline is reported as 0.0: fast-but-wrong cannot score.
 2. vgicp_linearize_ms_per_scan — one fused scan-to-map linearization
-   (voxel lookup + GICP residuals + Jacobians + 12x12 block reduction),
-   the hot kernel of every LM iteration (equivalent of the reference's GPU
-   linearize pass, src/gtsam_points/cuda/integrated_vgicp_derivatives_linearize.cu).
+   (voxel lookup + fused covs + GICP residuals + Jacobians + block
+   reduction). THREE candidate implementations are raced for a few
+   iterations each and the fastest becomes the headline (VERDICT r2 item 2:
+   the round-2 regression shipped because the bench trusted one kernel);
+   all per-path timings are in the JSON so a regression is visible and
+   non-fatal.
 
-Measurement protocol: STEADY-STATE MARGINAL cost. The tunneled TPU in this
-image adds a large fixed synchronization cost (~24 ms) to every host-blocking
-round trip of a program that contains a device loop — overhead of the
-development tunnel, not of the TPU program (a plain chained dispatch of
-loop-free programs syncs in ~0.1 ms). Both metrics therefore time two chain
-lengths K1 < K2 of back-to-back executions (data-dependent, so nothing can be
-elided) with ONE final block, and report (t(K2) - t(K1)) / (K2 - K1): the
-per-execution cost with the constant tunnel term differenced out. Raw
-(sync-inclusive) numbers are included in the JSON for transparency.
+Measurement protocol: STEADY-STATE MARGINAL cost (two chain lengths
+K1 < K2 of data-dependent back-to-back executions, one final block;
+(t2-t1)/(K2-K1) differences out the tunnel's fixed sync cost). Raw
+(sync-inclusive) numbers and a tunnel-health probe (trivial dispatch ms)
+are reported alongside.
 
-Baseline: MEASURED on this host by native/src/ref_baseline.cpp — an
-independent C++/OpenMP implementation of the reference's CPU VGICP pipeline
-on the identical workload (the reference repo publishes no numbers and its
-own demo_benchmark needs a GTSAM build, unavailable in this image; see
-REF_BASELINE.json). vs_baseline compares like-for-like: batched TPU
-frames/s vs measured CPU registrations/s (best thread count), and
-linearize ms vs measured CPU linearize ms.
+Baseline: MEASURED on this host by native/src/ref_baseline.cpp (independent
+C++/OpenMP implementation of the reference CPU VGICP pipeline; the reference
+repo publishes no numbers and its own demo_benchmark needs a GTSAM build,
+unavailable here). See REF_BASELINE.json.
 
 Prints one JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
@@ -41,21 +54,31 @@ import time
 
 import numpy as np
 
+ROT_TOL = 0.015  # rad — reference bound, test_matching_cost_factors.cpp:227
+TRANS_TOL = 0.15  # m   — reference bound, test_matching_cost_factors.cpp:228
+
 
 def _load_ref_baseline():
-    """-> (registration_ms, linearize_ms) measured CPU numbers (best thread)."""
-    reg_ms, lin_ms = 10.967, 0.7258  # fallback: the 2026-08-20 measurement
+    """-> dict of best-thread measured CPU numbers from REF_BASELINE.json."""
+    out = {
+        "registration_ms": 24.335,  # fallback: the 2026-08-21 measurement
+        "linearize_ms": 3.4232,
+        "registration_ms_1t": 36.653,
+        "linearize_ms_1t": 3.933,
+    }
     try:
         ref = json.load(open(os.path.join(os.path.dirname(__file__), "REF_BASELINE.json")))
-        reg = [m["value"] for m in ref["measurements"] if m["metric"] == "ref_cpu_vgicp_registration_ms"]
-        lin = [m["value"] for m in ref["measurements"] if m["metric"] == "ref_cpu_vgicp_linearize_ms_per_scan"]
+        reg = [m["value"] for m in ref["measurements"] if m["metric"] == "ref_cpu_vgicp_registration_cov_ms"]
+        lin = [m["value"] for m in ref["measurements"] if m["metric"] == "ref_cpu_vgicp_linearize_cov_ms_per_scan"]
         if reg:
-            reg_ms = min(reg)
+            out["registration_ms"] = min(reg)
+            out["registration_ms_1t"] = max(reg)
         if lin:
-            lin_ms = min(lin)
+            out["linearize_ms"] = min(lin)
+            out["linearize_ms_1t"] = max(lin)
     except Exception:
         pass
-    return reg_ms, lin_ms
+    return out
 
 
 def main():
@@ -65,123 +88,215 @@ def main():
     jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_bench")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
-    import gtsam_points_tpu  # pins f32 matmul precision
-    from gtsam_points_tpu.ops.pallas_linearize import vgicp_scan_linearize
-    from gtsam_points_tpu.ops.voxelmap import build_voxelmap
+    import gtsam_points_tpu  # noqa: F401  (pins f32 matmul precision)
+    from gtsam_points_tpu.ops import planar
+    from gtsam_points_tpu.ops.features import estimate_normals_covs
+    from gtsam_points_tpu.ops.pallas_linearize import linearize_fused, vgicp_scan_linearize
+    from gtsam_points_tpu.ops.voxelmap import build_voxelmap, lookup_fetch_planar
     from gtsam_points_tpu.types.frame import make_frame
     from gtsam_points_tpu.utils import io, se3
 
-    # Target map: scan 0; source: scan 1 (raw resolution, ~21k/25k points)
-    cap = 25088
-    pts0 = io.read_points("/root/reference/data/kitti_07_dump/000000/points.bin")
-    pts1 = io.read_points("/root/reference/data/kitti_07_dump/000001/points.bin")
-    target = make_frame(pts0, capacity=cap)
-    source = make_frame(pts1, capacity=cap)
+    # ---- tunnel-health probe (fixed sync cost of this dev image's TPU
+    # tunnel; NOT part of any metric, recorded so a degraded-tunnel run is
+    # distinguishable from a kernel regression) --------------------------
+    def tunnel_probe():
+        x = jnp.zeros((8, 128), jnp.float32)
+        f = jax.jit(lambda a: a + 1.0)
+        jax.block_until_ready(f(x))
+        ts = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            y = x
+            for _ in range(20):
+                y = f(y)
+            jax.block_until_ready(y)
+            ts.append(time.perf_counter() - t0)
+        return sorted(ts)[2] / 20 * 1000.0
 
-    vmap = jax.jit(lambda f: build_voxelmap(f, 0.5))(target)
+    tunnel_ms = tunnel_probe()
+
+    # ---- workload -------------------------------------------------------
+    cap = 25088
+    data = io.data_root()
+    pts0 = io.read_points(os.path.join(data, "kitti_07_dump/000000/points.bin"))
+    pts1 = io.read_points(os.path.join(data, "kitti_07_dump/000001/points.bin"))
+    g = io.load_graph(os.path.join(data, "kitti_07_dump/graph.txt"))
+    T_rel = se3.se3_inverse(se3.pose_from_xyzq(jnp.asarray(g[0]))) @ se3.pose_from_xyzq(
+        jnp.asarray(g[1])
+    )
+
+    prep = jax.jit(lambda f: estimate_normals_covs(f, k=10, grid_leaf=1.0))
+    target = prep(make_frame(pts0, capacity=cap))
+    source = prep(make_frame(pts1, capacity=cap))
+    vmap = jax.jit(lambda f: build_voxelmap(f, 1.0))(target)
+
     pts_p = source.points.T  # [3, N] planar
+    c = source.covs
+    covs6 = jnp.stack([c[:, 0, 0], c[:, 0, 1], c[:, 0, 2], c[:, 1, 1], c[:, 1, 2], c[:, 2, 2]])
     mask = source.mask
 
     # ---- 1) batched registration throughput ------------------------------
-    B = 64  # sweep (pallas path, marginal f/s): 530 at B=64; 281 at B=128
-    #         (VMEM pressure); planar path peaks at 389 (B=64)
-    GN_ITERS = 8  # matches the CPU baseline's convergence work (3 LM outers
-    #               x (1 linearize + ~2 error evals); GN converges by ~5 here)
+    # Coarse-to-fine Gauss-Newton: 3 iterations against a leaf-2.0 map to
+    # capture the basin (a ±0.1 twist moves far points by meters; the coarse
+    # map convexifies), then 8 against the leaf-1.0 map. Fixed shapes, two
+    # fori_loops, one jitted program — all 64 lanes converge to < 0.008 m of
+    # ground truth (vs LM needing 30 data-dependent iterations for the worst
+    # lane). Hot path = moments-fused Pallas linearize.
+    B = 64
+    vmap_coarse = jax.jit(lambda f: build_voxelmap(f, 2.0))(target)
 
-    def gn_register(T0):
-        """Unary VGICP registration: fixed target map, optimize source pose.
-        Per-iteration hot path = moments-fused Pallas kernel (probe + raw
-        moment gather in XLA; finalize + weights + Jacobians + MXU block
-        reduction in one VMEM-resident pass)."""
-
+    def gn_stage(vm, iters, T0):
         def body(i, T):
-            lin = vgicp_scan_linearize(vmap, pts_p, mask, T, 3.0)
+            lin = vgicp_scan_linearize(vm, pts_p, mask, T, 1.0, src_covs6=covs6)
             H = lin.H_ss + 1e-6 * jnp.eye(6)
-            xi = jax.scipy.linalg.cho_solve(jax.scipy.linalg.cho_factor(H, lower=True), lin.b_s)
+            xi = jax.scipy.linalg.cho_solve(
+                jax.scipy.linalg.cho_factor(H, lower=True), lin.b_s
+            )
             return T @ se3.se3_exp(xi)
 
-        return jax.lax.fori_loop(0, GN_ITERS, body, T0)
+        return jax.lax.fori_loop(0, iters, body, T0)
 
-    batched_register = jax.jit(jax.vmap(gn_register))
+    batched_register = jax.jit(
+        jax.vmap(lambda T0: gn_stage(vmap, 8, gn_stage(vmap_coarse, 3, T0)))
+    )
 
     rng = np.random.RandomState(0)
     xis = jnp.asarray(rng.uniform(-0.1, 0.1, (B, 6)).astype(np.float32))
-    T0s = jax.vmap(se3.se3_exp)(xis)
+    T0s = jax.vmap(lambda xi: T_rel @ se3.se3_exp(xi))(xis)
 
-    out = batched_register(T0s)
-    jax.block_until_ready(out)
+    Ts = batched_register(T0s)
+    jax.block_until_ready(Ts)
+
+    # convergence gate: every lane within the reference accuracy bounds
+    rot_e, trans_e = jax.vmap(lambda T: se3.pose_error(T, T_rel))(Ts)
+    max_rot = float(jnp.max(rot_e))
+    max_trans = float(jnp.max(trans_e))
+    converged = bool(max_rot < ROT_TOL and max_trans < TRANS_TOL)
 
     def chain_time(K, trials=3):
         """Median wall time of K back-to-back executions, one final sync.
-        Output feeds the next input, so the chain is truly sequential."""
+        Each element re-registers from the ORIGINAL perturbed inits (nudged by
+        a 1e-12 function of the previous output, so the chain is sequential
+        and nothing can be elided) — chaining converged poses directly would
+        measure re-registration of already-converged poses, not the real
+        from-init workload."""
         ts = []
         for _ in range(trials):
             t0 = time.perf_counter()
             cur = T0s
             for _ in range(K):
-                cur = batched_register(cur)
+                T_in = T0s.at[:, :3, 3].add(1e-12 * cur[:, :3, 3])
+                cur = batched_register(T_in)
             jax.block_until_ready(cur)
             ts.append(time.perf_counter() - t0)
         return sorted(ts)[len(ts) // 2]
 
-    K1, K2 = 2, 8
+    K1, K2 = 2, 6
     t1, t2 = chain_time(K1), chain_time(K2)
     marginal_s = (t2 - t1) / (K2 - K1)
     raw_s = t2 / K2
     frames_per_s = B / marginal_s
+    raw_frames_per_s = B / raw_s
 
-    # ---- 2) single-scan linearize latency --------------------------------
-    # One fused linearize (transform + voxel lookup + weights + Pallas
-    # linearize) iterated L times inside one program; marginal over two L.
-    def make_loop(lreps):
+    # ---- 2) single-scan linearize latency: RACE the candidate paths -----
+    eps_row = None  # cov workload: no eps regularization
+
+    def lin_moments(T):
+        return vgicp_scan_linearize(vmap, pts_p, mask, T, 1.0, src_covs6=covs6)
+
+    def lin_planar_fused(T):
+        pm = planar.transform(T, pts_p)
+        found, cnt, mu, C6 = lookup_fetch_planar(vmap, pm, mask)
+        W6 = planar.sym_inv(C6 + planar.sym_rotate(T[:3, :3], covs6))
+        return linearize_fused(pts_p, mu, W6, found & mask, T)
+
+    def lin_planar_xla(T):
+        pm = planar.transform(T, pts_p)
+        found, cnt, mu, C6 = lookup_fetch_planar(vmap, pm, mask)
+        W6 = planar.sym_inv(C6 + planar.sym_rotate(T[:3, :3], covs6))
+        return planar.linearize_point_system(
+            pts_p, pm, pm - mu, W6, found & mask, T[:3, :3]
+        )
+
+    def make_loop(fn, lreps):
         @jax.jit
         def bench_loop(T):
             def body(i, carry):
                 T, acc = carry
-                lin = vgicp_scan_linearize(vmap, pts_p, mask, T, 3.0)
-                T = T.at[:3, 3].add(1e-9 * lin.b_s[3:])
+                lin = fn(T)
+                T = T.at[:3, 3].add(1e-9 * lin.b_s[:3])
                 return (T, acc + lin.error)
 
             return jax.lax.fori_loop(0, lreps, body, (T, jnp.float32(0.0)))
 
         return bench_loop
 
-    L1, L2 = 10, 210
-    loops = {L: make_loop(L) for L in (L1, L2)}
-    T0 = jnp.eye(4)
-    times = {}
-    for L, fn in loops.items():
-        o = fn(T0)
-        jax.block_until_ready(o)
-        ts = []
-        for _ in range(5):
-            t0 = time.perf_counter()
-            o = fn(T0)
+    def marginal_lin_ms(fn, L1=10, L2=110):
+        times = {}
+        for L in (L1, L2):
+            loop = make_loop(fn, L)
+            o = loop(T_rel)
             jax.block_until_ready(o)
-            ts.append(time.perf_counter() - t0)
-        times[L] = sorted(ts)[len(ts) // 2]
-    ms_per_scan = (times[L2] - times[L1]) / (L2 - L1) * 1000.0
-    raw_ms_per_scan = times[L2] / L2 * 1000.0
+            ts = []
+            for _ in range(5):
+                t0 = time.perf_counter()
+                o = loop(T_rel)
+                jax.block_until_ready(o)
+                ts.append(time.perf_counter() - t0)
+            times[L] = sorted(ts)[len(ts) // 2]
+        marg = (times[L2] - times[L1]) / (L2 - L1) * 1000.0
+        raw = times[L2] / L2 * 1000.0
+        return marg, raw
 
-    ref_reg_ms, ref_lin_ms = _load_ref_baseline()
-    ref_frames_per_s = 1000.0 / ref_reg_ms
+    paths = {
+        "moments_fused": lin_moments,
+        "planar_fused": lin_planar_fused,
+        "planar_xla": lin_planar_xla,
+    }
+    path_ms = {}
+    path_raw_ms = {}
+    for name, fn in paths.items():
+        try:
+            path_ms[name], path_raw_ms[name] = marginal_lin_ms(fn)
+        except Exception as e:  # noqa: BLE001 — a broken path must not kill the bench
+            path_ms[name] = float("inf")
+            path_raw_ms[name] = float("inf")
+            path_ms[name + "_error"] = repr(e)[:120]
+    best_path = min((k for k in paths), key=lambda k: path_ms[k])
+    ms_per_scan = path_ms[best_path]
+    raw_ms_per_scan = path_raw_ms[best_path]
+
+    ref = _load_ref_baseline()
+    ref_frames_per_s = 1000.0 / ref["registration_ms"]
+    vs_baseline = frames_per_s / ref_frames_per_s if converged else 0.0
     print(
         json.dumps(
             {
                 "metric": "vgicp_registration_frames_per_s",
                 "value": round(frames_per_s, 2),
                 "unit": "frames/s/chip",
-                "vs_baseline": round(frames_per_s / ref_frames_per_s, 2),
+                "vs_baseline": round(vs_baseline, 2),
+                "converged": converged,
+                "max_rot_err_vs_gt_rad": round(max_rot, 5),
+                "max_trans_err_vs_gt_m": round(max_trans, 5),
                 "batch": B,
-                "gn_iters": GN_ITERS,
                 "baseline_frames_per_s": round(ref_frames_per_s, 2),
-                "raw_frames_per_s": round(B / raw_s, 2),
+                "raw_frames_per_s": round(raw_frames_per_s, 2),
+                "raw_vs_baseline": round(raw_frames_per_s / ref_frames_per_s, 2) if converged else 0.0,
                 "linearize_ms_per_scan": round(ms_per_scan, 4),
-                "linearize_vs_baseline": round(ref_lin_ms / ms_per_scan, 2),
+                "linearize_vs_baseline": round(ref["linearize_ms"] / ms_per_scan, 2),
                 "raw_linearize_ms_per_scan": round(raw_ms_per_scan, 4),
+                "linearize_path": best_path,
+                "linearize_paths_ms": {
+                    k: (round(v, 4) if v == v and v != float("inf") else "failed")
+                    for k, v in path_ms.items()
+                },
+                "tunnel_dispatch_ms": round(tunnel_ms, 4),
+                "workload": "cov (reference test protocol; see REF_BASELINE.json)",
                 "protocol": "steady-state marginal (two chain lengths differenced; "
                 "raw_* = sync-inclusive)",
-                "baseline_source": "REF_BASELINE.json (measured, native/src/ref_baseline.cpp)",
+                "baseline_source": "REF_BASELINE.json (measured, native/src/ref_baseline.cpp, "
+                "best thread count)",
             }
         )
     )

@@ -92,7 +92,7 @@ def main():
     from gtsam_points_tpu.types.frame import transform_frame
 
     moved = transform_frame(res.poses[1], source)
-    svmap = jax.jit(sharded_insert_frame)(svmap, moved)
+    svmap, _overflow = jax.jit(sharded_insert_frame)(svmap, moved)
     print(
         f"after insert: {int(sharded_num_voxels(svmap))} voxels; "
         f"overlap of scan 1 with map: {float(sharded_overlap(svmap, source, res.poses[1])):.3f}"

@@ -458,24 +458,9 @@ def linearize_vgicp_moments(
     weight inversion, Jacobians, and the 12x12 reduction all run in-kernel.
     Falls back to the equivalent XLA planar pipeline off-TPU."""
     if not _on_tpu():
-        from gtsam_points_tpu.ops import planar
-
-        cnt = momT[0]
-        ok = found & (cnt >= min_voxel_points)
-        safe = jnp.maximum(cnt, 1.0)
-        mu = momT[1:4] / safe
-        mu2 = jnp.stack(
-            [mu[0] * mu[0], mu[0] * mu[1], mu[0] * mu[2], mu[1] * mu[1], mu[1] * mu[2], mu[2] * mu[2]]
+        return linearize_vgicp_moments_xla(
+            p_src, momT, found, delta, min_voxel_points, eps, src_covs6
         )
-        C6 = momT[4:10] / safe - mu2
-        if src_covs6 is not None:
-            fused = C6 + planar.sym_rotate(delta[:3, :3], src_covs6)
-        else:
-            eye6 = jnp.asarray([1.0, 0.0, 0.0, 1.0, 0.0, 1.0], C6.dtype) * eps
-            fused = C6 + eye6[:, None]
-        W6 = planar.sym_inv(fused)
-        pm = planar.transform(delta, p_src)
-        return planar.linearize_point_system(p_src, pm, pm - mu, W6, ok, delta[:3, :3])
 
     scalars = jnp.stack([jnp.float32(min_voxel_points), jnp.float32(eps)]).reshape(1, 2)
     out = _vgicp_moments_call(
@@ -484,7 +469,7 @@ def linearize_vgicp_moments(
         p_src,
         momT,
         found.astype(jnp.float32),
-        src_covs6 if src_covs6 is not None else p_src,  # dummy when unused
+        src_covs6,  # None (empty pytree) when unused — no dummy traced input
         src_covs6 is not None,
     )
     H = out[:12, :12]
@@ -498,6 +483,32 @@ def linearize_vgicp_moments(
         error=out[12, 12],
         num_inliers=out[13, 13].astype(jnp.int32),
     )
+
+
+def linearize_vgicp_moments_xla(
+    p_src, momT, found, delta, min_voxel_points, eps=1e-3, src_covs6=None
+) -> Linearized:
+    """Pure-XLA equivalent of the moments-fused kernel (the off-TPU fallback,
+    also callable explicitly for on-device parity/perf racing —
+    scripts/tpu_parity.py)."""
+    from gtsam_points_tpu.ops import planar
+
+    cnt = momT[0]
+    ok = found & (cnt >= min_voxel_points)
+    safe = jnp.maximum(cnt, 1.0)
+    mu = momT[1:4] / safe
+    mu2 = jnp.stack(
+        [mu[0] * mu[0], mu[0] * mu[1], mu[0] * mu[2], mu[1] * mu[1], mu[1] * mu[2], mu[2] * mu[2]]
+    )
+    C6 = momT[4:10] / safe - mu2
+    if src_covs6 is not None:
+        fused = C6 + planar.sym_rotate(delta[:3, :3], src_covs6)
+    else:
+        eye6 = jnp.asarray([1.0, 0.0, 0.0, 1.0, 0.0, 1.0], C6.dtype) * eps
+        fused = C6 + eye6[:, None]
+    W6 = planar.sym_inv(fused)
+    pm = planar.transform(delta, p_src)
+    return planar.linearize_point_system(p_src, pm, pm - mu, W6, ok, delta[:3, :3])
 
 
 def vgicp_scan_linearize(
@@ -516,7 +527,11 @@ def vgicp_scan_linearize(
     pm = _planar.transform(delta, p_src)
     keys = _vk.point_keys_planar(pm, mask, vmap.leaf)
     row, found = _hprobe(vmap.hash_index, vmap.keys, keys)
-    momT = vmap.moments[row, :10].T  # [10, N]
+    # Gather FULL 16-lane rows, slice after the transpose. Gathering a
+    # 10-wide slice (`moments[row, :10]`) forces XLA into an unaligned
+    # per-slice gather that measured 32.7 ms/scan on TPU v5e — 170x the
+    # 0.19 ms full-row gather (round-2 BENCH regression, VERDICT.md weak #1).
+    momT = vmap.moments[row].T[:10]  # [10, N]
     return linearize_vgicp_moments(
         p_src, momT, found & mask, delta, min_voxel_points, eps, src_covs6
     )

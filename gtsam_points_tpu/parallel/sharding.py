@@ -39,21 +39,39 @@ def make_mesh_2d(
     axes=("host", "chip"),
 ) -> Mesh:
     """Two-level mesh for multi-host deployments: the leading axis maps onto
-    DCN (across hosts), the trailing axis onto ICI (chips within a host) —
-    the layout jax gives multi-host pods when the device order is
-    host-major (which `jax.devices()` guarantees). Collectives over the
-    "chip" axis ride ICI; only reductions over "host" touch DCN, so layouts
-    should psum over "chip" first (or over both axes at once and let XLA
-    build the hierarchical reduction). On a single host this still shapes
-    the program exactly as the pod would run it — the basis of the virtual
-    multi-host tests."""
+    DCN (across hosts), the trailing axis onto ICI (chips within a host).
+    Collectives over the "chip" axis ride ICI; only reductions over "host"
+    touch DCN, so layouts should psum over "chip" first (or over both axes
+    at once and let XLA build the hierarchical reduction). On a single host
+    this still shapes the program exactly as the pod would run it — the
+    basis of the virtual multi-host tests.
+
+    `jax.devices()` does NOT guarantee process-contiguous ordering (on TPU
+    v4+ device ids follow physical topology coordinates, so one host's
+    chips are generally non-contiguous in the flat list). The mesh is
+    therefore built from devices sorted by (process_index, id) — each mesh
+    row then really is one host's chips, keeping the "chip" axis on ICI.
+    Where available, jax.experimental.mesh_utils.create_hybrid_device_mesh
+    is used instead: it additionally orders chips within a host along the
+    physical ICI torus."""
     devs = jax.devices()
     if n_hosts is None:
         n_hosts = max(len({d.process_index for d in devs}), 1)
     if chips_per_host is None:
         chips_per_host = len(devs) // n_hosts
     n = n_hosts * chips_per_host
-    return Mesh(np.asarray(devs[:n]).reshape(n_hosts, chips_per_host), axes)
+    if n_hosts > 1:
+        try:
+            from jax.experimental import mesh_utils
+
+            arr = mesh_utils.create_hybrid_device_mesh(
+                (chips_per_host,), (n_hosts,), devices=devs[:n]
+            ).reshape(n_hosts, chips_per_host)
+            return Mesh(arr, axes)
+        except Exception:  # noqa: BLE001 — topology query unsupported (e.g. CPU mesh)
+            pass
+    ordered = sorted(devs[:n], key=lambda d: (d.process_index, d.id))
+    return Mesh(np.asarray(ordered).reshape(n_hosts, chips_per_host), axes)
 
 
 def shard_frame(frame: Frame, mesh: Mesh, axis: str = "point") -> Frame:

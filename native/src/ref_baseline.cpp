@@ -173,6 +173,49 @@ static bool solve66(double A[6][6], const double b[6], double x[6]) {
   return true;
 }
 
+// symmetric 3x3 Jacobi eigendecomposition (ascending eigenvalues)
+static void eigh3(const M3& A, double eval[3], M3& evec) {
+  M3 S = A;
+  evec = M3::eye();
+  for (int sweep = 0; sweep < 24; sweep++) {
+    double off = std::fabs(S.m[0][1]) + std::fabs(S.m[0][2]) + std::fabs(S.m[1][2]);
+    if (off < 1e-14) break;
+    for (int p = 0; p < 2; p++) {
+      for (int q = p + 1; q < 3; q++) {
+        if (std::fabs(S.m[p][q]) < 1e-18) continue;
+        const double theta = (S.m[q][q] - S.m[p][p]) / (2 * S.m[p][q]);
+        const double t = (theta >= 0 ? 1.0 : -1.0) /
+                         (std::fabs(theta) + std::sqrt(theta * theta + 1.0));
+        const double c = 1.0 / std::sqrt(t * t + 1.0), s = t * c;
+        for (int k = 0; k < 3; k++) {
+          const double skp = S.m[k][p], skq = S.m[k][q];
+          S.m[k][p] = c * skp - s * skq;
+          S.m[k][q] = s * skp + c * skq;
+        }
+        for (int k = 0; k < 3; k++) {
+          const double spk = S.m[p][k], sqk = S.m[q][k];
+          S.m[p][k] = c * spk - s * sqk;
+          S.m[q][k] = s * spk + c * sqk;
+        }
+        for (int k = 0; k < 3; k++) {
+          const double vkp = evec.m[k][p], vkq = evec.m[k][q];
+          evec.m[k][p] = c * vkp - s * vkq;
+          evec.m[k][q] = s * vkp + c * vkq;
+        }
+      }
+    }
+  }
+  int ord[3] = {0, 1, 2};
+  double d[3] = {S.m[0][0], S.m[1][1], S.m[2][2]};
+  std::sort(ord, ord + 3, [&](int a, int b) { return d[a] < d[b]; });
+  M3 sorted;
+  for (int j = 0; j < 3; j++) {
+    eval[j] = d[ord[j]];
+    for (int i = 0; i < 3; i++) sorted.m[i][j] = evec.m[i][ord[j]];
+  }
+  evec = sorted;
+}
+
 // ---------- data ----------
 static std::vector<V3> read_points(const std::string& path) {
   std::ifstream ifs(path, std::ios::binary);
@@ -191,11 +234,108 @@ static std::vector<V3> read_points(const std::string& path) {
   return pts;
 }
 
+// load T_rel = inv(T0) * T1 from graph.txt ("v<id> x y z qx qy qz qw")
+static bool load_rel_pose(const std::string& path, SE3& T_rel) {
+  std::ifstream ifs(path);
+  if (!ifs) return false;
+  SE3 T[2];
+  int got = 0;
+  std::string tag;
+  double x, y, z, qx, qy, qz, qw;
+  while (got < 2 && (ifs >> tag >> x >> y >> z >> qx >> qy >> qz >> qw)) {
+    SE3& P = T[got++];
+    P.t = {x, y, z};
+    const double xx = qx * qx, yy = qy * qy, zz = qz * qz;
+    P.R.m[0][0] = 1 - 2 * (yy + zz); P.R.m[0][1] = 2 * (qx * qy - qz * qw); P.R.m[0][2] = 2 * (qx * qz + qy * qw);
+    P.R.m[1][0] = 2 * (qx * qy + qz * qw); P.R.m[1][1] = 1 - 2 * (xx + zz); P.R.m[1][2] = 2 * (qy * qz - qx * qw);
+    P.R.m[2][0] = 2 * (qx * qz - qy * qw); P.R.m[2][1] = 2 * (qy * qz + qx * qw); P.R.m[2][2] = 1 - 2 * (xx + yy);
+  }
+  if (got < 2) return false;
+  const M3 R0t = transpose(T[0].R);
+  T_rel.R = mul(R0t, T[1].R);
+  T_rel.t = mul(R0t, T[1].t - T[0].t);
+  return true;
+}
+
+static inline int64_t voxel_key(V3 p, double inv_leaf) {
+  const int64_t x = static_cast<int64_t>(std::floor(p.x * inv_leaf));
+  const int64_t y = static_cast<int64_t>(std::floor(p.y * inv_leaf));
+  const int64_t z = static_cast<int64_t>(std::floor(p.z * inv_leaf));
+  return ((x & 0x1FFFFF) << 42) | ((y & 0x1FFFFF) << 21) | (z & 0x1FFFFF);
+}
+
+// ---------- k-NN covariance estimation (behavior of
+// features/covariance_estimation.hpp: k=10 neighbors, eigenvalues -> [1e-3,1,1]) --
+static std::vector<M3> estimate_covariances(
+  const std::vector<V3>& pts, int k, int threads) {
+  const double leaf = 1.0, il = 1.0 / leaf;
+  std::unordered_map<int64_t, std::vector<int>> cells;
+  cells.reserve(pts.size());
+  for (size_t i = 0; i < pts.size(); i++)
+    cells[voxel_key(pts[i], il)].push_back(static_cast<int>(i));
+
+  std::vector<M3> covs(pts.size());
+#pragma omp parallel num_threads(threads)
+  {
+    std::vector<std::pair<double, int>> cand;
+#pragma omp for schedule(guided, 8)
+    for (long i = 0; i < static_cast<long>(pts.size()); i++) {
+      const V3 p = pts[i];
+      cand.clear();
+      const int64_t cx = static_cast<int64_t>(std::floor(p.x * il));
+      const int64_t cy = static_cast<int64_t>(std::floor(p.y * il));
+      const int64_t cz = static_cast<int64_t>(std::floor(p.z * il));
+      for (int dx = -1; dx <= 1; dx++)
+        for (int dy = -1; dy <= 1; dy++)
+          for (int dz = -1; dz <= 1; dz++) {
+            const int64_t kk = (((cx + dx) & 0x1FFFFF) << 42) |
+                               (((cy + dy) & 0x1FFFFF) << 21) | ((cz + dz) & 0x1FFFFF);
+            auto it = cells.find(kk);
+            if (it == cells.end()) continue;
+            for (int j : it->second) {
+              const V3 d = pts[j] - p;
+              cand.emplace_back(dot(d, d), j);
+            }
+          }
+      const int kk = std::min<int>(k, static_cast<int>(cand.size()));
+      std::partial_sort(cand.begin(), cand.begin() + kk, cand.end());
+      V3 mean;
+      for (int j = 0; j < kk; j++) mean = mean + pts[cand[j].second];
+      mean = (1.0 / std::max(kk, 1)) * mean;
+      M3 C;
+      for (int j = 0; j < kk; j++) {
+        const V3 d = pts[cand[j].second] - mean;
+        C.m[0][0] += d.x * d.x; C.m[0][1] += d.x * d.y; C.m[0][2] += d.x * d.z;
+        C.m[1][1] += d.y * d.y; C.m[1][2] += d.y * d.z; C.m[2][2] += d.z * d.z;
+      }
+      const double in = 1.0 / std::max(kk, 1);
+      C.m[0][0] *= in; C.m[0][1] *= in; C.m[0][2] *= in;
+      C.m[1][1] *= in; C.m[1][2] *= in; C.m[2][2] *= in;
+      C.m[1][0] = C.m[0][1]; C.m[2][0] = C.m[0][2]; C.m[2][1] = C.m[1][2];
+      // eigenvalue regularization to [1e-3, 1, 1]
+      double ev[3];
+      M3 V;
+      eigh3(C, ev, V);
+      const double target[3] = {1e-3, 1.0, 1.0};
+      M3 out;
+      for (int a = 0; a < 3; a++)
+        for (int b = 0; b < 3; b++) {
+          double s = 0;
+          for (int e = 0; e < 3; e++) s += V.m[a][e] * target[e] * V.m[b][e];
+          out.m[a][b] = s;
+        }
+      covs[i] = out;
+    }
+  }
+  return covs;
+}
+
 // ---------- Gaussian voxel map (behavioral match of GaussianVoxelMapCPU) ----
 struct Voxel {
   double n = 0;
   V3 sum;
   double ss[6] = {};  // xx, xy, xz, yy, yz, zz
+  M3 covsum;          // sum of per-point covariances (cov workload)
   V3 mean;
   M3 cov;
 };
@@ -244,6 +384,36 @@ struct VoxelMap {
     }
   }
 
+  // cov workload: voxel mean = avg point, voxel cov = avg point cov
+  // (GaussianVoxel::add/finalize semantics,
+  // src/gtsam_points/types/gaussian_voxelmap_cpu.cpp:23-47)
+  void insert_with_covs(const std::vector<V3>& pts, const std::vector<M3>& covs) {
+    const double il = 1.0 / leaf;
+    index.reserve(pts.size());
+    for (size_t i = 0; i < pts.size(); i++) {
+      const int64_t k = key_of(pts[i], il);
+      auto it = index.find(k);
+      int vi;
+      if (it == index.end()) {
+        vi = static_cast<int>(voxels.size());
+        index.emplace(k, vi);
+        voxels.emplace_back();
+      } else {
+        vi = it->second;
+      }
+      Voxel& v = voxels[vi];
+      v.n += 1;
+      v.sum = v.sum + pts[i];
+      v.covsum = add(v.covsum, covs[i]);
+    }
+    for (auto& v : voxels) {
+      const double in = 1.0 / v.n;
+      v.mean = in * v.sum;
+      for (int a = 0; a < 3; a++)
+        for (int b = 0; b < 3; b++) v.cov.m[a][b] = v.covsum.m[a][b] * in;
+    }
+  }
+
   const Voxel* lookup(V3 p) const {
     auto it = index.find(key_of(p, 1.0 / leaf));
     return it == index.end() ? nullptr : &voxels[it->second];
@@ -259,7 +429,8 @@ struct System6 {
 };
 
 static System6 linearize_vgicp(
-  const VoxelMap& map, const std::vector<V3>& src, const SE3& T, double min_pts, int threads) {
+  const VoxelMap& map, const std::vector<V3>& src, const SE3& T, double min_pts, int threads,
+  const std::vector<M3>* src_covs = nullptr) {
   std::vector<System6> partial(std::max(threads, 1));
 #pragma omp parallel num_threads(threads)
   {
@@ -274,9 +445,11 @@ static System6 linearize_vgicp(
       const V3 pm = mul(T.R, p) + T.t;
       const Voxel* v = map.lookup(pm);
       if (!v || v->n < min_pts) continue;
-      // fused covariance: C_voxel + source cov (1e-3 I — bench.py workload
-      // uses raw source points without per-point covs)
-      M3 fused = add(v->cov, M3::eye(1e-3));
+      // fused covariance: C_voxel + R C_src R^T (cov workload) or + 1e-3 I
+      // (legacy eps workload: raw source points without per-point covs)
+      M3 fused = src_covs
+                   ? add(v->cov, mul(mul(T.R, (*src_covs)[i]), transpose(T.R)))
+                   : add(v->cov, M3::eye(1e-3));
       M3 W;
       if (!inv_sym(fused, W)) continue;
       const V3 r = pm - v->mean;
@@ -318,14 +491,17 @@ static System6 linearize_vgicp(
 }
 
 static double error_vgicp(
-  const VoxelMap& map, const std::vector<V3>& src, const SE3& T, double min_pts, int threads) {
+  const VoxelMap& map, const std::vector<V3>& src, const SE3& T, double min_pts, int threads,
+  const std::vector<M3>* src_covs = nullptr) {
   double err = 0;
 #pragma omp parallel for schedule(guided, 8) reduction(+ : err) num_threads(threads)
   for (long i = 0; i < static_cast<long>(src.size()); i++) {
     const V3 pm = mul(T.R, src[i]) + T.t;
     const Voxel* v = map.lookup(pm);
     if (!v || v->n < min_pts) continue;
-    M3 fused = add(v->cov, M3::eye(1e-3));
+    M3 fused = src_covs
+                 ? add(v->cov, mul(mul(T.R, (*src_covs)[i]), transpose(T.R)))
+                 : add(v->cov, M3::eye(1e-3));
     M3 W;
     if (!inv_sym(fused, W)) continue;
     const V3 r = pm - v->mean;
@@ -341,12 +517,13 @@ struct LMOut {
   double err = 0;
 };
 static LMOut optimize_lm(
-  const VoxelMap& map, const std::vector<V3>& src, SE3 T, double min_pts, int threads) {
+  const VoxelMap& map, const std::vector<V3>& src, SE3 T, double min_pts, int threads,
+  const std::vector<M3>* src_covs = nullptr) {
   double lambda = 1e-5;
   LMOut out;
-  double err = error_vgicp(map, src, T, min_pts, threads);
+  double err = error_vgicp(map, src, T, min_pts, threads, src_covs);
   for (int it = 0; it < 30; it++) {
-    System6 sys = linearize_vgicp(map, src, T, min_pts, threads);
+    System6 sys = linearize_vgicp(map, src, T, min_pts, threads, src_covs);
     bool accepted = false;
     for (int inner = 0; inner < 10; inner++) {
       double A[6][6];
@@ -358,7 +535,7 @@ static LMOut optimize_lm(
         continue;
       }
       SE3 cand = mul(T, se3_exp(xi));
-      const double cand_err = error_vgicp(map, src, cand, min_pts, threads);
+      const double cand_err = error_vgicp(map, src, cand, min_pts, threads, src_covs);
       if (cand_err < err) {
         const double rel = (err - cand_err) / std::max(err, 1e-9);
         T = cand;
@@ -424,7 +601,10 @@ int main(int argc, char** argv) {
       times[times.size() / 2], threads, pts1.size());
   }
 
-  // full pair registration from a noised init (LM to convergence)
+  // legacy eps-workload registration (kept for cross-round continuity; NOTE
+  // this workload registers from a near-identity init 3 m away from the true
+  // relative pose — it measures per-iteration cost, not a convergent
+  // registration; see the cov-workload rows below for the corrected protocol)
   for (int threads = 1; threads <= max_threads; threads *= 2) {
     const double xi[6] = {0.02, -0.01, 0.03, 0.2, -0.1, 0.15};
     std::vector<double> times;
@@ -439,8 +619,86 @@ int main(int argc, char** argv) {
     std::sort(times.begin(), times.end());
     std::printf(
       "{\"metric\": \"ref_cpu_vgicp_registration_ms\", \"value\": %.3f, \"unit\": \"ms\", "
-      "\"threads\": %d, \"lm_iters\": %d}\n",
+      "\"threads\": %d, \"lm_iters\": %d, \"workload\": \"eps\"}\n",
       times[times.size() / 2], threads, iters);
+  }
+
+  // ======== corrected "cov" workload: the reference's own test protocol ====
+  // (src/test/test_matching_cost_factors.cpp:84,181: leaf-1.0 voxel map built
+  // from a frame with k-NN estimated covariances, unary VGICP factor, init
+  // near the true relative pose from graph.txt). Every row is apples-to-
+  // apples with bench.py's corrected workload.
+  SE3 T_rel;
+  const bool have_rel = load_rel_pose(data + "/kitti_07_dump/graph.txt", T_rel);
+
+  // covariance estimation time (k=10, grid kNN, eig regularization)
+  std::vector<M3> covs0, covs1;
+  for (int threads = 1; threads <= max_threads; threads *= 2) {
+    std::vector<double> times;
+    for (int rep = 0; rep < 5; rep++) {
+      const double s = now_ms();
+      covs1 = estimate_covariances(pts1, 10, threads);
+      times.push_back(now_ms() - s);
+    }
+    std::sort(times.begin(), times.end());
+    std::printf(
+      "{\"metric\": \"ref_cpu_cov_estimation_ms\", \"value\": %.3f, \"unit\": \"ms\", "
+      "\"threads\": %d, \"points\": %zu}\n",
+      times[times.size() / 2], threads, pts1.size());
+  }
+  covs0 = estimate_covariances(pts0, 10, max_threads);
+
+  // leaf-1.0 voxel map carrying point covariances
+  double tc0 = now_ms();
+  VoxelMap cmap;
+  cmap.leaf = 1.0;
+  cmap.insert_with_covs(pts0, covs0);
+  std::printf(
+    "{\"metric\": \"ref_cpu_voxelmap_build_cov_ms\", \"value\": %.3f, \"unit\": \"ms\", "
+    "\"points\": %zu, \"voxels\": %zu}\n",
+    now_ms() - tc0, pts0.size(), cmap.voxels.size());
+
+  // linearize ms/scan on the cov workload
+  for (int threads = 1; threads <= max_threads; threads *= 2) {
+    SE3 T = have_rel ? T_rel : SE3{};
+    volatile double sink = 0;
+    std::vector<double> times;
+    for (int rep = 0; rep < 21; rep++) {
+      const double s = now_ms();
+      System6 sys = linearize_vgicp(cmap, pts1, T, 1.0, threads, &covs1);
+      times.push_back(now_ms() - s);
+      sink += sys.err;
+    }
+    std::sort(times.begin(), times.end());
+    std::printf(
+      "{\"metric\": \"ref_cpu_vgicp_linearize_cov_ms_per_scan\", \"value\": %.4f, "
+      "\"unit\": \"ms\", \"threads\": %d, \"points\": %zu}\n",
+      times[times.size() / 2], threads, pts1.size());
+  }
+
+  // registration from a T_rel-noised init (LM to convergence); report pose
+  // error vs T_rel so the measurement is demonstrably a CONVERGENT register
+  for (int threads = 1; threads <= max_threads; threads *= 2) {
+    const double xi[6] = {0.02, -0.01, 0.03, 0.06, -0.08, 0.05};
+    std::vector<double> times;
+    int iters = 0;
+    double trans_err = -1;
+    for (int rep = 0; rep < 11; rep++) {
+      SE3 T0 = have_rel ? mul(T_rel, se3_exp(xi)) : se3_exp(xi);
+      const double s = now_ms();
+      LMOut lm = optimize_lm(cmap, pts1, T0, 1.0, threads, &covs1);
+      times.push_back(now_ms() - s);
+      iters = lm.iters;
+      if (have_rel) {
+        const V3 dt = lm.T.t - T_rel.t;
+        trans_err = std::sqrt(dot(dt, dt));
+      }
+    }
+    std::sort(times.begin(), times.end());
+    std::printf(
+      "{\"metric\": \"ref_cpu_vgicp_registration_cov_ms\", \"value\": %.3f, \"unit\": \"ms\", "
+      "\"threads\": %d, \"lm_iters\": %d, \"trans_err_vs_gt_m\": %.4f, \"workload\": \"cov\"}\n",
+      times[times.size() / 2], threads, iters, trans_err);
   }
   return 0;
 }

@@ -138,7 +138,8 @@ def test_sharded_insert_and_overlap():
     frame2 = _scene(seed=1)
     vmap = insert_frame(build_voxelmap(frame1, 1.0, capacity=2 * frame1.capacity), frame2)
     svmap = build_sharded_voxelmap(frame1, 1.0, num_shards=8, capacity_per_shard=frame1.capacity // 2)
-    svmap = sharded_insert_frame(svmap, frame2)
+    svmap, overflow = sharded_insert_frame(svmap, frame2)
+    assert int(overflow) == 0
     assert int(sharded_num_voxels(svmap)) == int(vmap.num_voxels)
 
     T = jnp.eye(4)
@@ -235,3 +236,49 @@ def test_sharded_linearize_2d_host_chip_mesh():
     res = jax.jit(lambda p: optimize_lm(graph, p, LMParams(max_iterations=15)))(poses)
     rot_e, trans_e = se3.pose_error(T, res.poses[1])
     assert float(rot_e) < 2e-3 and float(trans_e) < 2e-2
+
+
+def test_partition_frame_by_shard_weak_scaling():
+    """The insert pre-partition (VERDICT r2 item 6) must (a) preserve every
+    owned point exactly once, (b) give each shard a slice of size
+    ~scan/num_shards (the weak-scaling property: per-device insert work
+    shrinks as devices grow), and (c) count overflow instead of silently
+    dropping."""
+    from gtsam_points_tpu.parallel.sharded_voxelmap import (
+        partition_frame_by_shard,
+        shard_of_keys,
+    )
+    from gtsam_points_tpu.ops import voxel_keys as vk
+
+    frame = _scene(seed=3)
+    n_shards = 8
+    parts, overflow = jax.jit(
+        lambda f: partition_frame_by_shard(f, jnp.float32(1.0), n_shards)
+    )(frame)
+    # (b) per-shard capacity is ~N/num_shards (x slack), NOT N
+    assert parts.points.shape[0] == n_shards
+    assert parts.points.shape[1] <= frame.capacity // n_shards * 2 + 128
+    assert int(overflow) == 0
+    # (a) every valid point lands exactly once, in its owning shard
+    assert int(jnp.sum(parts.mask)) == int(frame.num_valid())
+    keys = vk.point_keys(frame.points, frame.mask, jnp.float32(1.0))
+    own_counts = np.bincount(
+        np.asarray(shard_of_keys(keys, n_shards))[np.asarray(frame.mask)],
+        minlength=n_shards,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(jnp.sum(parts.mask, axis=1)), own_counts
+    )
+    # points in shard s really belong to shard s
+    for s in range(n_shards):
+        m = np.asarray(parts.mask[s])
+        if not m.any():
+            continue
+        pk = vk.point_keys(parts.points[s], parts.mask[s], jnp.float32(1.0))
+        sids = np.asarray(shard_of_keys(pk, n_shards))[m]
+        assert (sids == s).all()
+    # (c) tiny per-shard capacity must overflow, not crash
+    _, ov2 = jax.jit(
+        lambda f: partition_frame_by_shard(f, jnp.float32(1.0), n_shards, capacity_per_shard=8)
+    )(frame)
+    assert int(ov2) > 0
