@@ -53,6 +53,7 @@ class ISAM2ResultExt(NamedTuple):
     num_relinearized: int = 0  # active window size this update
     num_marginalized: int = 0  # poses frozen this update
     compiled: bool = False  # True iff this update built a new XLA program
+    num_loop_closures: int = 0  # frozen-touching factors realized this update
 
     def to_string(self) -> str:
         return (
@@ -92,11 +93,24 @@ class ISAM2Ext:
     bounded active window, marginalize what falls out.
 
     update(new_factors, new_values) -> ISAM2ResultExt; calculate_estimate()
-    returns every pose (frozen ones at their marginalization-time values).
+    returns every pose (frozen ones updated by loop-closure relaxes).
 
-    Factors may reference frozen poses only as a matching-cost factor's
-    `target_key`; the frozen estimate is then baked in as the factor's fixed
-    target pose (unary mode). Anything else raises — widen the window.
+    LATE LOOP CLOSURES (reference analogue: ISAM2Ext fluid relinearization +
+    wildfire partial deltas, src/gtsam_points/optimizers/isam2_ext.cpp:
+    425-520, :754-860 — a loop factor arriving late still corrects old
+    poses). The TPU-idiomatic equivalent here: every binary factor retired
+    by marginalization leaves behind a pose-graph EDGE (relative measurement
+    at the marginalization-time estimates, information from its Hessian
+    diagonal), so frozen history keeps a block-sparse skeleton. When a new
+    factor touches a frozen pose, it is realized as a loop EDGE (matching
+    costs via a local pair registration), the WHOLE trajectory — frozen
+    chain + rigid active window — is relaxed with the O(P+E) pose-graph LM
+    (optim/sparse.py), every estimate (frozen included) is updated, and the
+    window's marginal priors are re-anchored at the relaxed configuration.
+    The loop factor additionally stays in the active graph in unary mode
+    when its target is frozen (the round-2 behavior), so the window keeps
+    feeling it between relaxes. Set enable_loop_closure=False to restore
+    the round-2 raise-on-frozen behavior.
     """
 
     def __init__(
@@ -104,6 +118,7 @@ class ISAM2Ext:
         window_size: int = 8,
         lm_params: Optional[LMParams] = None,
         max_poses: Optional[int] = None,
+        enable_loop_closure: bool = True,
     ):
         if max_poses is not None:  # legacy alias: capacity == window bound
             window_size = max_poses
@@ -117,6 +132,12 @@ class ISAM2Ext:
         self.frozen: Dict[int, np.ndarray] = {}
         self.num_values = 0
         self._programs = _ProgramCache()
+        self.enable_loop_closure = enable_loop_closure
+        # pose-graph skeleton of frozen history: (t, s, measured 4x4, w [6])
+        self.history_edges: List[Tuple[int, int, np.ndarray, np.ndarray]] = []
+        # priors retired by marginalization: (key, T 4x4, w [6])
+        self.history_priors: List[Tuple[int, np.ndarray, np.ndarray]] = []
+        self.loop_edges: List[Tuple[int, int, np.ndarray, np.ndarray]] = []
 
     # -- public API ---------------------------------------------------------
 
@@ -132,7 +153,24 @@ class ISAM2Ext:
                 if key not in self.window and key not in self.frozen:
                     self.window.append(key)
                 self.num_values = max(self.num_values, key + 1)
-        self.factors.extend(self._adopt(f) for f in new_factors)
+
+        loop_factors = []
+        for f in new_factors:
+            frozen_keys = [k for k in f.keys if k >= 0 and k in self.frozen]
+            if frozen_keys and self.enable_loop_closure:
+                loop_factors.append(f)
+            else:
+                self.factors.append(self._adopt(f))
+        if loop_factors:
+            for f in loop_factors:
+                self.loop_edges.append(self._realize_edge(f))
+            self._relax()
+            # keep the loop constraint in the active graph where unary baking
+            # supports it (frozen TARGET), at the RELAXED frozen estimate
+            for f in loop_factors:
+                baked = self._try_bake(f)
+                if baked is not None:
+                    self.factors.append(baked)
 
         n_marg = len(self.window) - self.window_size
         if n_marg > 0:
@@ -151,6 +189,7 @@ class ISAM2Ext:
             num_relinearized=len(self.window),
             num_marginalized=n_marg,
             compiled=compiled,
+            num_loop_closures=len(loop_factors),
         )
 
     def calculate_estimate(self) -> np.ndarray:
@@ -192,12 +231,200 @@ class ISAM2Ext:
     def _local_poses(self, keys: List[int]) -> jax.Array:
         return jnp.asarray(np.stack([self.estimates[k] for k in keys]))
 
+    # -- loop closures -------------------------------------------------------
+
+    def _realize_edge(self, factor) -> Tuple[int, int, np.ndarray, np.ndarray]:
+        """Turn a factor touching frozen pose(s) into a pose-graph edge
+        (t, s, measured 4x4, weights [6]).
+
+        BetweenFactor: direct. Matching-cost factor: LOCAL PAIR REGISTRATION —
+        fix the target at its current estimate, optimize the source pose under
+        the factor alone (one cached jitted LM program), measured = the
+        registered relative pose, weights = the factor's Hessian diagonal at
+        the optimum (the information a dense registration carries about the
+        relative pose; diagonal approximation, standard pose-graph practice)."""
+        if hasattr(factor, "measured"):  # BetweenFactor
+            return (
+                factor.target_key,
+                factor.source_key,
+                np.asarray(factor.measured, np.float32),
+                np.asarray(factor.weights, np.float32),
+            )
+        if not (hasattr(factor, "target_key") and hasattr(factor, "fixed_target_pose")):
+            raise ValueError(
+                f"cannot realize {type(factor).__name__} touching frozen pose(s) "
+                "as a loop-closure edge"
+            )
+        t, s = factor.target_key, factor.source_key
+        T_t = jnp.asarray(self.estimates[t])
+        T_s0 = jnp.asarray(self.estimates[s])
+        unary = dataclasses.replace(
+            factor, target_key=-1, source_key=0, fixed_target_pose=T_t
+        )
+        leaves, treedef = jax.tree_util.tree_flatten(unary)
+        cfg = (treedef, _avals_key(leaves))
+
+        def builder():
+            def run(leaves, T_s0):
+                f = jax.tree_util.tree_unflatten(treedef, leaves)
+                g = FactorGraph([f], num_poses=1)
+                res = optimize_lm(g, T_s0[None], LMParams(max_iterations=15))
+                lin = f.linearize(res.poses)
+                return res.poses[0], jnp.diagonal(lin.H_ss)
+
+            return run
+
+        fn, _ = self._programs.get(("edge", cfg), builder)
+        T_s_opt, w = fn(tuple(leaves), T_s0)
+        measured = np.asarray(jnp.linalg.solve(T_t, T_s_opt), np.float32)
+        w = np.clip(np.asarray(w, np.float32), 1e-3, None)
+        return (t, s, measured, w)
+
+    def _realize_edge_at_estimates(self, factor) -> Tuple[int, int, np.ndarray, np.ndarray]:
+        """History edge for a binary factor being retired by marginalization:
+        the window was just optimized, so the current estimates ARE the
+        factor's optimum — measured directly from estimates, weights =
+        Hessian diagonal there (no re-registration)."""
+        if hasattr(factor, "measured"):  # BetweenFactor
+            return (
+                factor.target_key,
+                factor.source_key,
+                np.asarray(factor.measured, np.float32),
+                np.asarray(factor.weights, np.float32),
+            )
+        t, s = factor.target_key, factor.source_key
+        local = remap_keys(factor, {t: 0, s: 1})
+        leaves, treedef = jax.tree_util.tree_flatten(local)
+        cfg = (treedef, _avals_key(leaves))
+
+        def builder():
+            def run(leaves, poses2):
+                f = jax.tree_util.tree_unflatten(treedef, leaves)
+                return jnp.diagonal(f.linearize(poses2).H_ss)
+
+            return run
+
+        fn, _ = self._programs.get(("edgeinfo", cfg), builder)
+        poses2 = jnp.asarray(np.stack([self.estimates[t], self.estimates[s]]))
+        w = np.clip(np.asarray(fn(tuple(leaves), poses2), np.float32), 1e-3, None)
+        measured = (np.linalg.inv(self.estimates[t]) @ self.estimates[s]).astype(np.float32)
+        return (t, s, measured, w)
+
+    def _try_bake(self, factor):
+        """Unary-bake a loop factor into the active graph where supported
+        (matching factor with frozen TARGET and active source), at the
+        relaxed frozen estimate; None otherwise (the pose-graph edge already
+        carries the constraint)."""
+        frozen_keys = [k for k in factor.keys if k >= 0 and k in self.frozen]
+        if (
+            hasattr(factor, "target_key")
+            and hasattr(factor, "fixed_target_pose")
+            and frozen_keys == [factor.target_key]
+            and factor.source_key in self.window
+        ):
+            return dataclasses.replace(
+                factor,
+                target_key=-1,
+                fixed_target_pose=jnp.asarray(self.frozen[factor.target_key]),
+            )
+        return None
+
+    def _relax(self):
+        """Global trajectory relax after a loop closure: history skeleton +
+        loop edges + rigid active-window chain, optimized with the O(P+E)
+        block-sparse pose-graph LM (optim/sparse.py). Every estimate (frozen
+        included) is updated; marginal priors are re-anchored at the relaxed
+        configuration (lin point moved, offset zeroed — the prior keeps its
+        SHAPE, i.e. the relative structure it constrains, which is what
+        survives a gauge-consistent relax)."""
+        from gtsam_points_tpu.optim.sparse import PoseGraphEdges, optimize_pose_graph
+
+        keys = sorted(self.estimates)
+        if len(keys) < 2:
+            return
+        idx = {k: i for i, k in enumerate(keys)}
+
+        edges = list(self.history_edges) + list(self.loop_edges)
+        for a, b in zip(self.window, self.window[1:]):
+            m = np.linalg.inv(self.estimates[a]) @ self.estimates[b]
+            edges.append((a, b, m.astype(np.float32), np.full(6, 1e6, np.float32)))
+
+        priors = list(self.history_priors)
+        for f in self.factors:
+            if hasattr(f, "prior") and hasattr(f, "key"):
+                priors.append(
+                    (f.key, np.asarray(f.prior, np.float32), np.asarray(f.weights, np.float32))
+                )
+        if not priors:  # gauge fix
+            priors.append((keys[0], self.estimates[keys[0]], np.full(6, 1e6, np.float32)))
+
+        def pad(n, mult=8):
+            return -(-n // mult) * mult
+
+        E, Q, P = pad(len(edges)), pad(len(priors)), len(keys)
+        eye = np.eye(4, dtype=np.float32)
+        measured = np.stack([e[2] for e in edges] + [eye] * (E - len(edges)))
+        e_w = np.stack([e[3] for e in edges] + [np.zeros(6, np.float32)] * (E - len(edges)))
+        t_idx = np.asarray([idx[e[0]] for e in edges] + [0] * (E - len(edges)), np.int32)
+        s_idx = np.asarray([idx[e[1]] for e in edges] + [0] * (E - len(edges)), np.int32)
+        prior_T = np.stack([p[1] for p in priors] + [eye] * (Q - len(priors)))
+        prior_w = np.stack([p[2] for p in priors] + [np.zeros(6, np.float32)] * (Q - len(priors)))
+        prior_idx = np.asarray([idx[p[0]] for p in priors] + [0] * (Q - len(priors)), np.int32)
+
+        def builder():
+            def run(pg, poses0):
+                return optimize_pose_graph(pg, poses0, max_iterations=50)
+
+            return run
+
+        fn, _ = self._programs.get(("relax", P, E, Q), builder)
+        pg = PoseGraphEdges(
+            measured=jnp.asarray(measured),
+            weights=jnp.asarray(e_w),
+            t_idx=jnp.asarray(t_idx),
+            s_idx=jnp.asarray(s_idx),
+            prior_T=jnp.asarray(prior_T),
+            prior_w=jnp.asarray(prior_w),
+            prior_idx=jnp.asarray(prior_idx),
+        )
+        poses0 = jnp.asarray(np.stack([self.estimates[k] for k in keys]))
+        res = fn(pg, poses0)
+        new_poses = np.asarray(res.poses)
+        if not np.all(np.isfinite(new_poses)):
+            return  # keep previous estimates (indeterminant relax guard)
+        for k in keys:
+            self.estimates[k] = new_poses[idx[k]]
+        for k in self.frozen:
+            self.frozen[k] = self.estimates[k]
+        self.factors = [
+            self._reanchor(f) if isinstance(f, MarginalPriorFactor) else f
+            for f in self.factors
+        ]
+
+    def _reanchor(self, f: MarginalPriorFactor) -> MarginalPriorFactor:
+        lin = jnp.asarray(np.stack([self.estimates[k] for k in f.pose_keys]))
+        return dataclasses.replace(
+            f, lin_poses=lin, delta_star=jnp.zeros_like(f.delta_star)
+        )
+
     def _marginalize(self, marg_keys: List[int]):
         marg_set = set(marg_keys)
         touching = [f for f in self.factors if any(k in marg_set for k in f.keys if k >= 0)]
         remaining = [f for f in self.factors if not any(k in marg_set for k in f.keys if k >= 0)]
         involved = sorted({k for f in touching for k in f.keys if k >= 0})
         keep = [k for k in involved if k not in marg_set]
+
+        if self.enable_loop_closure:
+            # retired factors leave a pose-graph skeleton behind so a LATE
+            # loop closure can still relax frozen history (see class doc)
+            for f in touching:
+                ks = [k for k in f.keys if k >= 0]
+                if hasattr(f, "prior") and hasattr(f, "key"):
+                    self.history_priors.append(
+                        (f.key, np.asarray(f.prior, np.float32), np.asarray(f.weights, np.float32))
+                    )
+                elif len(ks) == 2 and hasattr(f, "target_key") and not isinstance(f, MarginalPriorFactor):
+                    self.history_edges.append(self._realize_edge_at_estimates(f))
 
         if touching and keep:
             # Local subgraph over the involved keys ONLY — the dense system is

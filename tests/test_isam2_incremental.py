@@ -166,3 +166,121 @@ def test_fixed_lag_smoother_vgicp_kitti07(kitti07_all):
         xi = np.asarray(se3.se3_log(jnp.asarray(T_err[None]))[0])
         assert np.linalg.norm(xi[:3]) < ROT_TOL, f"pose {i}"
         assert np.linalg.norm(xi[3:]) < TRANS_TOL, f"pose {i}"
+
+
+def test_late_loop_closure_corrects_frozen_history():
+    """VERDICT r2 item 4: a loop factor arriving AFTER its pose froze must
+    still correct the frozen trajectory (reference analogue: ISAM2Ext fluid
+    relinearization + wildfire deltas, isam2_ext.cpp:425-520).
+
+    Synthetic drift protocol: 10-pose chain, odometry Between measurements
+    with a systematic yaw bias (drift accumulates in frozen history), window
+    3. A loop closure 0<->9 with the TRUE relative pose arrives when poses
+    0..6 are frozen; the global relax must move frozen poses and cut the
+    trajectory ATE by a large factor."""
+    from gtsam_points_tpu.factors import BetweenFactor
+
+    # ground-truth trajectory: forward 1 m steps with varied yaw
+    T_true = [np.eye(4, dtype=np.float32)]
+    for i in range(9):
+        d = np.asarray(
+            se3.se3_exp(jnp.asarray([0.0, 0.0, 0.05 * np.sin(i), 1.0, 0.0, 0.0], jnp.float32))
+        )
+        T_true.append((T_true[-1] @ d).astype(np.float32))
+
+    bias = np.asarray(se3.se3_exp(jnp.asarray([0.0, 0.0, 0.02, 0.0, 0.0, 0.0], jnp.float32)))
+    w_odom = jnp.asarray([1e4] * 3 + [1e4] * 3, jnp.float32)
+
+    isam = ISAM2Ext(window_size=3, lm_params=LMParams(max_iterations=10))
+    isam.update(
+        [PriorFactor(prior=jnp.eye(4), weights=jnp.full((6,), 1e6), key=0)],
+        {0: jnp.eye(4)},
+    )
+    for i in range(1, 10):
+        d_meas = np.linalg.inv(T_true[i - 1]) @ T_true[i] @ bias  # biased odometry
+        init = isam.calculate_estimate_pose(i - 1) @ d_meas
+        isam.update(
+            [BetweenFactor(measured=jnp.asarray(d_meas), weights=w_odom, target_key=i - 1, source_key=i)],
+            {i: jnp.asarray(init)},
+        )
+    assert 0 in isam.frozen and 6 in isam.frozen
+
+    def ate(est):
+        gauge = T_true[0] @ np.linalg.inv(np.asarray(est[0]))
+        errs = []
+        for i in range(10):
+            T_err = np.linalg.inv(T_true[i]) @ (gauge @ np.asarray(est[i]))
+            errs.append(np.linalg.norm(np.asarray(se3.se3_log(jnp.asarray(T_err[None]))[0])[3:]))
+        return float(np.mean(errs))
+
+    ate_before = ate(isam.calculate_estimate())
+    frozen_before = {k: isam.frozen[k].copy() for k in isam.frozen}
+
+    # late loop closure: TRUE relative pose 0 -> 9, arriving after 0 froze
+    loop = BetweenFactor(
+        measured=jnp.asarray(np.linalg.inv(T_true[0]) @ T_true[9]),
+        weights=jnp.asarray([1e5] * 6, jnp.float32),
+        target_key=0,
+        source_key=9,
+    )
+    res = isam.update([loop])
+    assert res.num_loop_closures == 1
+
+    ate_after = ate(isam.calculate_estimate())
+    # frozen poses actually moved
+    moved = max(
+        float(np.linalg.norm(isam.frozen[k][:3, 3] - frozen_before[k][:3, 3]))
+        for k in frozen_before
+    )
+    assert moved > 1e-3, "loop closure did not touch frozen history"
+    # and the trajectory got substantially better
+    assert ate_after < 0.5 * ate_before, f"ATE {ate_before:.4f} -> {ate_after:.4f}"
+
+
+def test_late_loop_closure_vgicp_kitti07(kitti07_all):
+    """Real-data late loop closure: kitti_07 streamed with window 2 (poses
+    0..2 frozen when the loop arrives), a VGICP loop factor 0<->4 realized as
+    a pair registration + global relax. Frozen estimates update and the whole
+    trajectory stays within the reference accuracy bounds."""
+    frames, T_gt = kitti07_all
+    rng = np.random.RandomState(3)
+    noises = [rng.uniform(-0.1, 0.1, 6).astype(np.float32) for _ in range(N)]
+    isam = ISAM2Ext(window_size=2, lm_params=LMParams(max_iterations=30))
+
+    init0 = np.asarray(jnp.asarray(T_gt[0]) @ se3.se3_exp(jnp.asarray(noises[0])))
+    isam.update(
+        [PriorFactor(prior=jnp.asarray(init0), weights=jnp.full((6,), 1e6), key=0)],
+        {0: jnp.asarray(init0)},
+    )
+    for i in range(1, N):
+        delta_gt = np.linalg.inv(T_gt[i - 1]) @ T_gt[i]
+        init = (
+            isam.calculate_estimate_pose(i - 1)
+            @ delta_gt
+            @ np.asarray(se3.se3_exp(jnp.asarray(noises[i])))
+        )
+        isam.update(
+            [make_vgicp_factor(i - 1, i, frames[i - 1], frames[i], voxel_resolution=1.0, min_voxel_points=4)],
+            {i: jnp.asarray(init)},
+        )
+    assert set(isam.frozen) == {0, 1, 2}
+    frozen_before = {k: isam.frozen[k].copy() for k in isam.frozen}
+
+    # late VGICP loop closure to the long-frozen first pose
+    res = isam.update(
+        [make_vgicp_factor(0, N - 1, frames[0], frames[N - 1], voxel_resolution=1.0, min_voxel_points=4)]
+    )
+    assert res.num_loop_closures == 1
+    moved = max(
+        float(np.linalg.norm(isam.frozen[k][:3, 3] - frozen_before[k][:3, 3]))
+        for k in frozen_before
+    )
+    assert moved > 0.0, "relax did not update frozen estimates"
+
+    est = isam.calculate_estimate()
+    gauge = T_gt[0] @ np.linalg.inv(np.asarray(est[0]))
+    for i in range(N):
+        T_err = np.linalg.inv(T_gt[i]) @ (gauge @ np.asarray(est[i]))
+        xi = np.asarray(se3.se3_log(jnp.asarray(T_err[None]))[0])
+        assert np.linalg.norm(xi[:3]) < ROT_TOL, f"pose {i}: rot {np.linalg.norm(xi[:3])}"
+        assert np.linalg.norm(xi[3:]) < TRANS_TOL, f"pose {i}: trans {np.linalg.norm(xi[3:])}"
