@@ -199,8 +199,6 @@ def main():
     raw_frames_per_s = B / raw_s
 
     # ---- 2) single-scan linearize latency: RACE the candidate paths -----
-    eps_row = None  # cov workload: no eps regularization
-
     def lin_moments(T):
         return vgicp_scan_linearize(vmap, pts_p, mask, T, 1.0, src_covs6=covs6)
 

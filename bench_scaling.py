@@ -228,6 +228,86 @@ def main():
         flush=True,
     )
 
+    # ---- single-real-chip ANCHORS for the modeled efficiency curve -------
+    # (VERDICT r2 item 5: turn the bytes contract into a measured claim.)
+    # On the one available TPU chip, measure the per-iteration compute time
+    # of the production scan-to-map linearize on the real bench workload
+    # (kitti_07, 25k points); combined with the constant psum payload above
+    # and published ICI/DCN envelopes this yields the modeled
+    # efficiency-vs-hosts curve in docs/DISTRIBUTED.md ("Measured scaling
+    # model"). Runs only with --tpu (needs the real chip).
+    if "--tpu" in sys.argv and jax.devices()[0].platform in ("tpu", "axon"):
+        from gtsam_points_tpu.ops.features import estimate_normals_covs
+        from gtsam_points_tpu.ops.pallas_linearize import vgicp_scan_linearize
+        from gtsam_points_tpu.utils import io as _io
+
+        cap = 25088
+        p0 = _io.read_points("/root/reference/data/kitti_07_dump/000000/points.bin")
+        p1 = _io.read_points("/root/reference/data/kitti_07_dump/000001/points.bin")
+        prep = jax.jit(lambda f: estimate_normals_covs(f, k=10, grid_leaf=1.0))
+        tgt = prep(_mf(p0, capacity=cap))
+        src = prep(_mf(p1, capacity=cap))
+        vm = jax.jit(lambda f: _bv(f, 1.0))(tgt)
+        pts_p = src.points.T
+        c = src.covs
+        covs6 = jnp.stack(
+            [c[:, 0, 0], c[:, 0, 1], c[:, 0, 2], c[:, 1, 1], c[:, 1, 2], c[:, 2, 2]]
+        )
+
+        def make_loop(L):
+            @jax.jit
+            def loop(T):
+                def body(i, carry):
+                    T, acc = carry
+                    lin = vgicp_scan_linearize(vm, pts_p, src.mask, T, 1.0, src_covs6=covs6)
+                    return (T.at[:3, 3].add(1e-12 * lin.b_s[:3]), acc + lin.error)
+
+                return jax.lax.fori_loop(0, L, body, (T, jnp.float32(0.0)))
+
+            return loop
+
+        times = {}
+        for L in (10, 110):
+            loop = make_loop(L)
+            o = loop(jnp.eye(4))
+            jax.block_until_ready(o)
+            ts = []
+            for _ in range(5):
+                t0 = time.perf_counter()
+                o = loop(jnp.eye(4))
+                jax.block_until_ready(o)
+                ts.append(time.perf_counter() - t0)
+            times[L] = sorted(ts)[2]
+        anchor_ms = (times[110] - times[10]) / 100 * 1000.0
+        # published interconnect envelopes (TPU v5e; jax-ml.github.io/scaling-book):
+        ici_lat_s, dcn_lat_s = 2e-6, 50e-6  # small-payload allreduce latency
+        ici_bw, dcn_bw = 45e9, 6.25e9  # bytes/s per link / per host
+        t_comm_ici = ici_lat_s + cb / ici_bw
+        t_comm_dcn = dcn_lat_s + cb / dcn_bw
+        t1 = anchor_ms / 1000.0
+
+        def eff_factor_axis(factors_per_host, hosts):
+            comp = factors_per_host * t1
+            return comp / (comp + t_comm_ici + (t_comm_dcn if hosts > 1 else 0.0))
+
+        print(
+            json.dumps(
+                {
+                    "metric": "tpu_1chip_scan_linearize_anchor_ms",
+                    "value": round(anchor_ms, 4),
+                    "unit": "ms",
+                    "workload": "kitti_07 cov workload, 25088 pts (bench.py hot path)",
+                    "psum_payload_bytes": cb,
+                    "modeled_eff_2hosts_factor_axis": {
+                        str(f): round(eff_factor_axis(f, 2), 4) for f in (1, 4, 16, 64)
+                    },
+                    "model": "eff = compute / (compute + ICI + DCN); ICI 2us+45GB/s, "
+                    "DCN 50us+6.25GB/s (v5e envelopes); see docs/DISTRIBUTED.md",
+                }
+            ),
+            flush=True,
+        )
+
 
 if __name__ == "__main__":
     main()

@@ -37,6 +37,24 @@ def sort_by_time(frame: Frame) -> Frame:
     return sample(frame, order)
 
 
+def sort_by_voxel_key(frame: Frame, leaf) -> Frame:
+    """Sort points by packed voxel key (invalid slots last).
+
+    A gather-locality utility with no reference counterpart: scan-to-map
+    correspondence is one row gather per point from the map's sorted-key
+    table, and raw scans arrive in beam order, so key-sorting the SOURCE
+    makes the per-iteration gather row indices near-monotone. Measured
+    NEUTRAL on TPU v5e at the bench scale (25k-voxel map ≈ 1.6 MB — the
+    gather stream is already served efficiently); expected to matter only
+    for much-larger-than-cache maps. Registration results are identical
+    (the reduction is order-invariant up to f32 rounding)."""
+    from gtsam_points_tpu.ops import voxel_keys as vk
+
+    keys = vk.point_keys(frame.points, frame.mask, leaf)
+    order = jnp.argsort(jnp.where(frame.mask, keys, jnp.int32(2**31 - 1)), stable=True)
+    return sample(frame, order)
+
+
 def point_distances(frame: Frame) -> jax.Array:
     """Range of each point from the origin (invalid -> 0)."""
     d = jnp.linalg.norm(frame.points, axis=-1)

@@ -308,3 +308,30 @@ def test_offload_pool_lru():
     assert pool.offload("m2") is True
     assert pool.offload("m2") is False
     assert pool.reload("m2") is True
+
+
+def test_sort_by_voxel_key_preserves_content():
+    """sort_by_voxel_key: same point set, keys nondecreasing over valid slots,
+    registration-relevant leaves permuted consistently."""
+    import numpy as np
+    from gtsam_points_tpu.ops import voxel_keys as vk
+    from gtsam_points_tpu.types.frame import make_frame
+    from gtsam_points_tpu.types.frame_funcs import sort_by_voxel_key
+
+    rng = np.random.RandomState(11)
+    pts = (rng.rand(300, 3) * 8).astype(np.float32)
+    inten = rng.rand(300).astype(np.float32)
+    f = make_frame(pts, intensities=inten, capacity=512)
+    fs = jax.jit(lambda f: sort_by_voxel_key(f, 1.0))(f)
+    assert int(jnp.sum(fs.mask)) == int(jnp.sum(f.mask))
+    # same multiset of (point, intensity) pairs
+    a = np.asarray(f.points)[np.asarray(f.mask)]
+    b = np.asarray(fs.points)[np.asarray(fs.mask)]
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    ia = np.sort(np.asarray(f.intensities)[np.asarray(f.mask)])
+    ib = np.sort(np.asarray(fs.intensities)[np.asarray(fs.mask)])
+    np.testing.assert_array_equal(ia, ib)
+    # keys nondecreasing over the valid prefix
+    keys = np.asarray(vk.point_keys(fs.points, fs.mask, jnp.float32(1.0)))
+    kv = keys[np.asarray(fs.mask)]
+    assert (np.diff(kv.astype(np.int64)) >= 0).all()
