@@ -136,14 +136,19 @@ def main():
     mask = source.mask
 
     # ---- 1) batched registration throughput ------------------------------
-    # Coarse-to-fine Gauss-Newton: 3 iterations against a leaf-2.0 map to
-    # capture the basin (a ±0.1 twist moves far points by meters; the coarse
-    # map convexifies), then 8 against the leaf-1.0 map. Fixed shapes, two
-    # fori_loops, one jitted program — all 64 lanes converge to < 0.008 m of
-    # ground truth (vs LM needing 30 data-dependent iterations for the worst
-    # lane). Hot path = moments-fused Pallas linearize.
+    # Coarse-to-fine Gauss-Newton PYRAMID: 2 iterations against a leaf-4.0
+    # map, 1 against leaf-2.0, 4 against leaf-1.0 (a ±0.1 twist moves far
+    # points by meters; the coarse maps convexify the basin). Fixed shapes,
+    # three fori_loops, one jitted program. Chosen by an on-device sweep:
+    # 2+1+4 converges every one of 1024 registrations (16 seeds x B=64) to
+    # < 0.008 m of ground truth — tighter than the round-2 two-level 3+8
+    # schedule (whose worst adversarial-seed lane was 0.037 m) at 2.4x the
+    # throughput; plain GN loses 6/64 lanes and LM needs 30 data-dependent
+    # iterations for its worst lane. Hot path = moments-fused Pallas
+    # linearize.
     B = 64
-    vmap_coarse = jax.jit(lambda f: build_voxelmap(f, 2.0))(target)
+    vmap_c2 = jax.jit(lambda f: build_voxelmap(f, 2.0))(target)
+    vmap_c4 = jax.jit(lambda f: build_voxelmap(f, 4.0))(target)
 
     def gn_stage(vm, iters, T0):
         def body(i, T):
@@ -157,7 +162,9 @@ def main():
         return jax.lax.fori_loop(0, iters, body, T0)
 
     batched_register = jax.jit(
-        jax.vmap(lambda T0: gn_stage(vmap, 8, gn_stage(vmap_coarse, 3, T0)))
+        jax.vmap(
+            lambda T0: gn_stage(vmap, 4, gn_stage(vmap_c2, 1, gn_stage(vmap_c4, 2, T0)))
+        )
     )
 
     rng = np.random.RandomState(0)
