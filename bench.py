@@ -16,12 +16,12 @@ own convergence below).
 
 Measurements:
 1. vgicp_registration_frames_per_s — B independent scan-to-map VGICP
-   registrations run as ONE vmapped jitted program (coarse-to-fine GN:
-   3 iterations against a leaf-2.0 map, 8 against the leaf-1.0 map; hot
-   path = moments-fused Pallas linearize; convergence-work comparable to
-   the CPU baseline's 5-iteration LM with its ~7 error evaluations, and
-   both converge to < 0.01 m of GT). vs_baseline divides by the MEASURED
-   CPU registration rate
+   registrations run as ONE vmapped jitted program (coarse-to-fine GN
+   PYRAMID: 2 iterations against a leaf-4.0 map, 1 at leaf-2.0, 4 at
+   leaf-1.0; hot path = moments-fused Pallas linearize;
+   convergence-work comparable to the CPU baseline's 5-iteration LM with
+   its ~7 error evaluations, and both converge to < 0.01 m of GT).
+   vs_baseline divides by the MEASURED CPU registration rate
    (REF_BASELINE.json, cov workload, best thread count). If the batch does
    not converge to ground truth within the reference accuracy bounds
    (rot < 0.015 rad, trans < 0.15 m — test_matching_cost_factors.cpp:227),
@@ -61,10 +61,10 @@ TRANS_TOL = 0.15  # m   — reference bound, test_matching_cost_factors.cpp:228
 def _load_ref_baseline():
     """-> dict of best-thread measured CPU numbers from REF_BASELINE.json."""
     out = {
-        "registration_ms": 24.335,  # fallback: the 2026-08-21 measurement
-        "linearize_ms": 3.4232,
-        "registration_ms_1t": 36.653,
-        "linearize_ms_1t": 3.933,
+        "registration_ms": 18.918,  # fallback: the 2026-08-21 measurement
+        "linearize_ms": 3.3888,
+        "registration_ms_1t": 34.009,
+        "linearize_ms_1t": 3.4169,
     }
     try:
         ref = json.load(open(os.path.join(os.path.dirname(__file__), "REF_BASELINE.json")))
@@ -96,24 +96,12 @@ def main():
     from gtsam_points_tpu.types.frame import make_frame
     from gtsam_points_tpu.utils import io, se3
 
-    # ---- tunnel-health probe (fixed sync cost of this dev image's TPU
-    # tunnel; NOT part of any metric, recorded so a degraded-tunnel run is
-    # distinguishable from a kernel regression) --------------------------
-    def tunnel_probe():
-        x = jnp.zeros((8, 128), jnp.float32)
-        f = jax.jit(lambda a: a + 1.0)
-        jax.block_until_ready(f(x))
-        ts = []
-        for _ in range(5):
-            t0 = time.perf_counter()
-            y = x
-            for _ in range(20):
-                y = f(y)
-            jax.block_until_ready(y)
-            ts.append(time.perf_counter() - t0)
-        return sorted(ts)[2] / 20 * 1000.0
+    from gtsam_points_tpu.utils.benchtime import chain_marginal, tunnel_probe_ms
 
-    tunnel_ms = tunnel_probe()
+    # tunnel-health probe (fixed sync cost of this dev image's TPU tunnel;
+    # NOT part of any metric, recorded so a degraded-tunnel run is
+    # distinguishable from a kernel regression)
+    tunnel_ms = tunnel_probe_ms()
 
     # ---- workload -------------------------------------------------------
     cap = 25088
@@ -180,28 +168,20 @@ def main():
     max_trans = float(jnp.max(trans_e))
     converged = bool(max_rot < ROT_TOL and max_trans < TRANS_TOL)
 
-    def chain_time(K, trials=3):
-        """Median wall time of K back-to-back executions, one final sync.
-        Each element re-registers from the ORIGINAL perturbed inits (nudged by
-        a 1e-12 function of the previous output, so the chain is sequential
-        and nothing can be elided) — chaining converged poses directly would
+    def reg_chain(K):
+        """K back-to-back batched registrations, one final sync. Each element
+        re-registers from the ORIGINAL perturbed inits (nudged by a 1e-12
+        function of the previous output, so the chain is sequential and
+        nothing can be elided) — chaining converged poses directly would
         measure re-registration of already-converged poses, not the real
         from-init workload."""
-        ts = []
-        for _ in range(trials):
-            t0 = time.perf_counter()
-            cur = T0s
-            for _ in range(K):
-                T_in = T0s.at[:, :3, 3].add(1e-12 * cur[:, :3, 3])
-                cur = batched_register(T_in)
-            jax.block_until_ready(cur)
-            ts.append(time.perf_counter() - t0)
-        return sorted(ts)[len(ts) // 2]
+        cur = T0s
+        for _ in range(K):
+            T_in = T0s.at[:, :3, 3].add(1e-12 * cur[:, :3, 3])
+            cur = batched_register(T_in)
+        jax.block_until_ready(cur)
 
-    K1, K2 = 2, 6
-    t1, t2 = chain_time(K1), chain_time(K2)
-    marginal_s = (t2 - t1) / (K2 - K1)
-    raw_s = t2 / K2
+    marginal_s, raw_s = chain_marginal(reg_chain, 2, 6, trials=3)
     frames_per_s = B / marginal_s
     raw_frames_per_s = B / raw_s
 
@@ -237,21 +217,15 @@ def main():
         return bench_loop
 
     def marginal_lin_ms(fn, L1=10, L2=110):
-        times = {}
-        for L in (L1, L2):
-            loop = make_loop(fn, L)
-            o = loop(T_rel)
-            jax.block_until_ready(o)
-            ts = []
-            for _ in range(5):
-                t0 = time.perf_counter()
-                o = loop(T_rel)
-                jax.block_until_ready(o)
-                ts.append(time.perf_counter() - t0)
-            times[L] = sorted(ts)[len(ts) // 2]
-        marg = (times[L2] - times[L1]) / (L2 - L1) * 1000.0
-        raw = times[L2] / L2 * 1000.0
-        return marg, raw
+        loops = {L: make_loop(fn, L) for L in (L1, L2)}
+        for loop in loops.values():  # compile + warm
+            jax.block_until_ready(loop(T_rel))
+
+        def run(L):
+            jax.block_until_ready(loops[L](T_rel))
+
+        marg_s, raw_s = chain_marginal(run, L1, L2, trials=5)
+        return marg_s * 1000.0, raw_s * 1000.0
 
     paths = {
         "moments_fused": lin_moments,
@@ -286,6 +260,10 @@ def main():
                 "max_trans_err_vs_gt_m": round(max_trans, 5),
                 "batch": B,
                 "baseline_frames_per_s": round(ref_frames_per_s, 2),
+                "baseline_1thread_ms": {
+                    "registration": ref["registration_ms_1t"],
+                    "linearize": ref["linearize_ms_1t"],
+                },
                 "raw_frames_per_s": round(raw_frames_per_s, 2),
                 "raw_vs_baseline": round(raw_frames_per_s / ref_frames_per_s, 2) if converged else 0.0,
                 "linearize_ms_per_scan": round(ms_per_scan, 4),
@@ -293,7 +271,11 @@ def main():
                 "raw_linearize_ms_per_scan": round(raw_ms_per_scan, 4),
                 "linearize_path": best_path,
                 "linearize_paths_ms": {
-                    k: (round(v, 4) if v == v and v != float("inf") else "failed")
+                    k: (
+                        round(v, 4)
+                        if isinstance(v, float) and v == v and v != float("inf")
+                        else (v if isinstance(v, str) else "failed")
+                    )
                     for k, v in path_ms.items()
                 },
                 "tunnel_dispatch_ms": round(tunnel_ms, 4),

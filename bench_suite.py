@@ -35,19 +35,16 @@ def main():
             rec["vs_baseline"] = round(baseline / value, 2)
         print(json.dumps(rec), flush=True)
 
+    from gtsam_points_tpu.utils.benchtime import chain_marginal
+
     def marginal_ms(run_chain, K1=5, K2=15, trials=3):
-        """Steady-state marginal per-execution ms: run_chain(K) dispatches K
+        """Steady-state marginal per-execution ms (shared protocol,
+        utils/benchtime.chain_marginal): run_chain(K) dispatches K
         back-to-back executions and blocks ONCE; two chain lengths are
         differenced to exclude the tunnel's fixed per-sync cost (~24 ms for
         programs containing device loops — see bench.py docstring)."""
-        def t(K):
-            ts = []
-            for _ in range(trials):
-                t0 = time.perf_counter()
-                run_chain(K)
-                ts.append(time.perf_counter() - t0)
-            return sorted(ts)[trials // 2]
-        return (t(K2) - t(K1)) / (K2 - K1) * 1000.0
+        marg_s, _ = chain_marginal(run_chain, K1, K2, trials=trials)
+        return marg_s * 1000.0
 
     cap = 25088
     pts0 = io.read_points("/root/reference/data/kitti_07_dump/000000/points.bin")

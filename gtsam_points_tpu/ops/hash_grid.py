@@ -148,12 +148,16 @@ def build_hash_grid(
 
     coarse = None
     if coarse_factor is not None:
+        # a coarse cell covers coarse_factor^3 fine cells, so the per-cell
+        # candidate budget must scale with the factor or dense clouds lose
+        # most in-radius neighbors to silent truncation (round-3 review
+        # finding); bounded at 256 to keep the gather tiles reasonable
         coarse = build_hash_grid(
             points,
             mask,
             leaf * coarse_factor,
             cell_capacity=cap,
-            max_points_per_cell=J,
+            max_points_per_cell=min(J * coarse_factor, 256),
         )
 
     return HashGrid(
@@ -353,7 +357,10 @@ def radius_search(
     candidate sets merged (dedup by point index, nearest-first), extending
     exact coverage to ~coarse_factor * leaf — subject to the coarse level's
     per-cell candidate cap, the same bounded-budget semantics as the fine
-    level (`tests/test_hash_grid.py` oracle-checks radius > leaf).
+    level (`tests/test_knn.py` oracle-checks radius > leaf). On a
+    coarse-enabled grid the coarse pass + merge run unconditionally (the
+    radius may be traced, so the level choice cannot be static); build the
+    grid without `coarse_factor` when all radii are <= leaf.
 
     Returns (indices [Q, M], sq_dists [Q, M], valid [Q, M], num_found [Q]).
     """

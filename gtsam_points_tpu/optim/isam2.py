@@ -61,6 +61,7 @@ class ISAM2ResultExt(NamedTuple):
             f"factors {self.num_factors} | values {self.num_values} | "
             f"window {self.num_relinearized} | marg {self.num_marginalized} | "
             f"iters {self.num_iterations} | "
+            f"{f'loops {self.num_loop_closures} | ' if self.num_loop_closures else ''}"
             f"{'compile ' if self.compiled else ''}{self.elapsed_time * 1e3:.1f} ms"
         )
 
@@ -138,6 +139,10 @@ class ISAM2Ext:
         # priors retired by marginalization: (key, T 4x4, w [6])
         self.history_priors: List[Tuple[int, np.ndarray, np.ndarray]] = []
         self.loop_edges: List[Tuple[int, int, np.ndarray, np.ndarray]] = []
+        # unary-baked loop factors with their ORIGINAL frozen target key, so a
+        # later relax can refresh their fixed_target_pose (baking erases the
+        # key from the factor itself)
+        self._baked_loops: List[Tuple[object, int]] = []
 
     # -- public API ---------------------------------------------------------
 
@@ -322,11 +327,13 @@ class ISAM2Ext:
             and frozen_keys == [factor.target_key]
             and factor.source_key in self.window
         ):
-            return dataclasses.replace(
+            baked = dataclasses.replace(
                 factor,
                 target_key=-1,
                 fixed_target_pose=jnp.asarray(self.frozen[factor.target_key]),
             )
+            self._baked_loops.append((baked, factor.target_key))
+            return baked
         return None
 
     def _relax(self):
@@ -400,6 +407,21 @@ class ISAM2Ext:
             self._reanchor(f) if isinstance(f, MarginalPriorFactor) else f
             for f in self.factors
         ]
+        # refresh previously-baked loop factors to the RELAXED frozen target
+        # (their fixed_target_pose would otherwise keep pulling the window
+        # toward the pre-relax configuration — review finding, round 3)
+        still_baked = []
+        for obj, key in self._baked_loops:
+            for i, f in enumerate(self.factors):
+                if f is obj:
+                    new_f = dataclasses.replace(
+                        obj, fixed_target_pose=jnp.asarray(self.frozen[key])
+                    )
+                    self.factors[i] = new_f
+                    still_baked.append((new_f, key))
+                    break
+            # not found -> the factor was absorbed by marginalization; drop it
+        self._baked_loops = still_baked
 
     def _reanchor(self, f: MarginalPriorFactor) -> MarginalPriorFactor:
         lin = jnp.asarray(np.stack([self.estimates[k] for k in f.pose_keys]))

@@ -54,7 +54,10 @@ def make_mesh_2d(
     Where available, jax.experimental.mesh_utils.create_hybrid_device_mesh
     is used instead: it additionally orders chips within a host along the
     physical ICI torus."""
-    devs = jax.devices()
+    # sort the FULL device list before slicing: slicing an interleaved
+    # jax.devices() first could put chips of different hosts in one mesh row
+    # even after sorting the slice (review finding, round 3)
+    devs = sorted(jax.devices(), key=lambda d: (d.process_index, d.id))
     if n_hosts is None:
         n_hosts = max(len({d.process_index for d in devs}), 1)
     if chips_per_host is None:
@@ -70,8 +73,7 @@ def make_mesh_2d(
             return Mesh(arr, axes)
         except Exception:  # noqa: BLE001 — topology query unsupported (e.g. CPU mesh)
             pass
-    ordered = sorted(devs[:n], key=lambda d: (d.process_index, d.id))
-    return Mesh(np.asarray(ordered).reshape(n_hosts, chips_per_host), axes)
+    return Mesh(np.asarray(devs[:n]).reshape(n_hosts, chips_per_host), axes)
 
 
 def shard_frame(frame: Frame, mesh: Mesh, axis: str = "point") -> Frame:

@@ -384,9 +384,14 @@ struct VoxelMap {
     }
   }
 
-  // cov workload: voxel mean = avg point, voxel cov = avg point cov
-  // (GaussianVoxel::add/finalize semantics,
-  // src/gtsam_points/types/gaussian_voxelmap_cpu.cpp:23-47)
+  // cov workload: voxel mean = avg point, voxel cov = within-voxel point
+  // scatter + avg point cov. NOTE this matches the TPU framework's voxel
+  // semantics (ops/voxelmap.py point_moments folds per-point covs into the
+  // second-moment lanes), which intentionally differs from the reference's
+  // GaussianVoxel (avg point cov only, gaussian_voxelmap_cpu.cpp:23-47):
+  // the scatter term keeps single-point-free voxels usable and both bench
+  // sides must optimize the SAME objective for vs_baseline to be
+  // like-for-like (round-3 review finding).
   void insert_with_covs(const std::vector<V3>& pts, const std::vector<M3>& covs) {
     const double il = 1.0 / leaf;
     index.reserve(pts.size());
@@ -402,15 +407,24 @@ struct VoxelMap {
         vi = it->second;
       }
       Voxel& v = voxels[vi];
+      const V3 p = pts[i];
       v.n += 1;
-      v.sum = v.sum + pts[i];
+      v.sum = v.sum + p;
+      v.ss[0] += p.x * p.x; v.ss[1] += p.x * p.y; v.ss[2] += p.x * p.z;
+      v.ss[3] += p.y * p.y; v.ss[4] += p.y * p.z; v.ss[5] += p.z * p.z;
       v.covsum = add(v.covsum, covs[i]);
     }
     for (auto& v : voxels) {
       const double in = 1.0 / v.n;
       v.mean = in * v.sum;
+      v.cov.m[0][0] = v.ss[0] * in - v.mean.x * v.mean.x;
+      v.cov.m[0][1] = v.cov.m[1][0] = v.ss[1] * in - v.mean.x * v.mean.y;
+      v.cov.m[0][2] = v.cov.m[2][0] = v.ss[2] * in - v.mean.x * v.mean.z;
+      v.cov.m[1][1] = v.ss[3] * in - v.mean.y * v.mean.y;
+      v.cov.m[1][2] = v.cov.m[2][1] = v.ss[4] * in - v.mean.y * v.mean.z;
+      v.cov.m[2][2] = v.ss[5] * in - v.mean.z * v.mean.z;
       for (int a = 0; a < 3; a++)
-        for (int b = 0; b < 3; b++) v.cov.m[a][b] = v.covsum.m[a][b] * in;
+        for (int b = 0; b < 3; b++) v.cov.m[a][b] += v.covsum.m[a][b] * in;
     }
   }
 

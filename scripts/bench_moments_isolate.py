@@ -19,20 +19,15 @@ from gtsam_points_tpu.types.frame import make_frame
 from gtsam_points_tpu.utils import io
 
 
+from gtsam_points_tpu.utils.benchtime import chain_marginal
+
+
 def marginal_ms(make_loop, L1=10, L2=60):
     loops = {L: make_loop(L) for L in (L1, L2)}
-    times = {}
-    for L, f in loops.items():
-        o = f()
-        jax.block_until_ready(o)
-        ts = []
-        for _ in range(5):
-            t0 = time.perf_counter()
-            o = f()
-            jax.block_until_ready(o)
-            ts.append(time.perf_counter() - t0)
-        times[L] = sorted(ts)[2]
-    return (times[L2] - times[L1]) / (L2 - L1) * 1000.0
+    for f in loops.values():
+        jax.block_until_ready(f())
+    marg_s, _ = chain_marginal(lambda L: jax.block_until_ready(loops[L]()), L1, L2)
+    return marg_s * 1000.0
 
 
 def main():

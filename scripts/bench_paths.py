@@ -23,20 +23,7 @@ from gtsam_points_tpu.types.frame import make_frame
 from gtsam_points_tpu.utils import io, se3
 
 
-def tunnel_probe():
-    x = jnp.zeros((8, 128), jnp.float32)
-    f = jax.jit(lambda a: a + 1.0)
-    y = f(x)
-    jax.block_until_ready(y)
-    ts = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        y = x
-        for _ in range(20):
-            y = f(y)
-        jax.block_until_ready(y)
-        ts.append(time.perf_counter() - t0)
-    return sorted(ts)[2] / 20 * 1000.0  # ms per trivial dispatch
+from gtsam_points_tpu.utils.benchtime import chain_marginal, tunnel_probe_ms as tunnel_probe
 
 
 def main():
@@ -96,18 +83,10 @@ def main():
 
     def marginal_ms(fn, L1=10, L2=60):
         loops = {L: make_loop(fn, L) for L in (L1, L2)}
-        times = {}
-        for L, f in loops.items():
-            o = f(T_id)
-            jax.block_until_ready(o)
-            ts = []
-            for _ in range(5):
-                t0 = time.perf_counter()
-                o = f(T_id)
-                jax.block_until_ready(o)
-                ts.append(time.perf_counter() - t0)
-            times[L] = sorted(ts)[2]
-        return (times[L2] - times[L1]) / (L2 - L1) * 1000.0
+        for f in loops.values():
+            jax.block_until_ready(f(T_id))
+        marg_s, _ = chain_marginal(lambda L: jax.block_until_ready(loops[L](T_id)), L1, L2)
+        return marg_s * 1000.0
 
     out = {"tunnel_dispatch_ms": round(tunnel_probe(), 4)}
     for name, fn in [

@@ -150,6 +150,8 @@ def main():
     # regression was a 70x-pessimized kernel nobody timed on device;
     # VERDICT r2 item 3). Marginal protocol (fori_loop chains), 1.5x grace
     # for timing noise. ------------------------------------------------------
+    from gtsam_points_tpu.utils.benchtime import chain_marginal
+
     def marginal_kernel_ms(fn, L1=100, L2=1100):
         def make_loop(lreps):
             @jax.jit
@@ -163,19 +165,15 @@ def main():
 
             return loop
 
-        times = {}
-        for L in (L1, L2):
-            loop = make_loop(L)
-            o = loop(delta)
-            jax.block_until_ready(o)
-            ts = []
-            for _ in range(5):
-                t0 = time.perf_counter()
-                o = loop(delta)
-                jax.block_until_ready(o)
-                ts.append(time.perf_counter() - t0)
-            times[L] = sorted(ts)[len(ts) // 2]
-        return (times[L2] - times[L1]) / (L2 - L1) * 1000.0
+        loops = {L: make_loop(L) for L in (L1, L2)}
+        for loop in loops.values():
+            jax.block_until_ready(loop(delta))
+
+        def run(L):
+            jax.block_until_ready(loops[L](delta))
+
+        marg_s, _ = chain_marginal(run, L1, L2, trials=5)
+        return marg_s * 1000.0
 
     # Perf arrays at the production workload size (bench.py: 25088 lanes) —
     # at 8k lanes XLA's fused elementwise path wins on fixed overheads; the

@@ -277,6 +277,18 @@ def test_late_loop_closure_vgicp_kitti07(kitti07_all):
     )
     assert moved > 0.0, "relax did not update frozen estimates"
 
+    # SECOND loop closure (1 <-> 4): triggers another relax; the factor baked
+    # by the first loop closure must be refreshed to the NEW frozen estimate
+    # of pose 0, not keep pulling toward the pre-relax one
+    res2 = isam.update(
+        [make_vgicp_factor(1, N - 1, frames[1], frames[N - 1], voxel_resolution=1.0, min_voxel_points=4)]
+    )
+    assert res2.num_loop_closures == 1
+    for baked, key in isam._baked_loops:
+        np.testing.assert_allclose(
+            np.asarray(baked.fixed_target_pose), isam.frozen[key], atol=1e-6
+        )
+
     est = isam.calculate_estimate()
     gauge = T_gt[0] @ np.linalg.inv(np.asarray(est[0]))
     for i in range(N):
