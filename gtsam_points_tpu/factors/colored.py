@@ -242,3 +242,76 @@ _meta = [
 ]
 register_factor(ColorConsistencyFactor, data_fields=_fields, meta_fields=_meta)
 register_factor(ColoredGICPFactor, data_fields=_fields, meta_fields=_meta)
+
+
+def estimate_intensity_gradients_ivox(vmap, num_neighbor_cells: int = 27):
+    """Per-VOXEL intensity gradients maintained on an incremental voxel map —
+    the TPU-native equivalent of the reference's experimental
+    IntensityGradientsiVox (factors/experimental/intensity_gradients_ivox_.hpp:
+    11-56: an iVox whose container estimates gradients from voxel neighbors so
+    photometric factors can target an incremental map, no per-scan kNN).
+
+    For each occupied cell: neighbors are the `num_neighbor_cells` adjacent
+    cells' Gaussian+intensity moments (one probe fan-out, like
+    estimate_normals_covs_moments); the gradient solves the same
+    plane-projected LSQ as estimate_intensity_gradients with dx = neighbor
+    mean - cell mean, dI = neighbor mean intensity - cell mean intensity, and
+    the cell normal (smallest-eigenvector of the cell covariance) constrained
+    to zero gradient. -> [C, 3] per-voxel gradients, aligned with the map's
+    rows / `as_frame()` order; pair with `vmap.as_frame(with_normals=True)`
+    to target ColorConsistencyFactor at a map."""
+    from gtsam_points_tpu.ops import voxel_keys as vk
+    from gtsam_points_tpu.ops.eigh3 import eigh3
+    from gtsam_points_tpu.ops.hash_index import probe
+    from gtsam_points_tpu.ops.voxelmap import finalize_intensity, finalize_mean
+
+    valid = vmap.keys != vk.INVALID_KEY
+    mu = finalize_mean(vmap.moments)  # [C, 3]
+    inten = finalize_intensity(vmap.moments)  # [C]
+
+    offs = vk.neighbor_offsets(num_neighbor_cells)
+    cell_coords = vk.unpack_key(vmap.keys)
+    nb_keys = vk.pack_coords(cell_coords[:, None, :] + offs[None, :, :])
+    nb_keys = jnp.where(valid[:, None], nb_keys, vk.INVALID_KEY)
+    nb_rows, nb_found = probe(vmap.hash_index, vmap.keys, nb_keys)  # [C, O]
+    rows = jnp.where(nb_found, nb_rows, 0)
+    nb_mu = mu[rows]  # [C, O, 3]
+    nb_int = inten[rows]  # [C, O]
+
+    # cell normal from the cell covariance
+    C6 = vmap.moments[:, 4:10] / jnp.maximum(vmap.moments[:, 0], 1.0)[:, None]
+    mu2 = jnp.stack(
+        [mu[:, 0] * mu[:, 0], mu[:, 0] * mu[:, 1], mu[:, 0] * mu[:, 2],
+         mu[:, 1] * mu[:, 1], mu[:, 1] * mu[:, 2], mu[:, 2] * mu[:, 2]],
+        axis=-1,
+    )
+    s = C6 - mu2
+    cell_cov = jnp.stack(
+        [jnp.stack([s[:, 0], s[:, 1], s[:, 2]], -1),
+         jnp.stack([s[:, 1], s[:, 3], s[:, 4]], -1),
+         jnp.stack([s[:, 2], s[:, 4], s[:, 5]], -1)],
+        axis=-2,
+    )
+    _, vecs = eigh3(cell_cov + 1e-9 * jnp.eye(3))
+    n = vecs[..., 0]  # [C, 3]
+
+    w = (nb_found & valid[:, None]).astype(jnp.float32)
+    # exclude the center cell (dx = 0 contributes nothing, but its dI is 0 too)
+    dx = nb_mu - mu[:, None, :]
+    dI = nb_int - inten[:, None]
+    dx_t = dx - jnp.einsum("coj,cj->co", dx, n)[..., None] * n[:, None, :]
+    G = jnp.einsum("coi,coj->cij", dx_t * w[..., None], dx_t) + jnp.einsum("ci,cj->cij", n, n)
+    G = G + 1e-6 * jnp.eye(3, dtype=G.dtype)
+    g = jnp.einsum("coi,co->ci", dx_t * w[..., None], dI)
+    grads = jnp.einsum("cij,cj->ci", inv3x3(G), g)
+    return jnp.where(valid[:, None], grads, 0.0)
+
+
+def lookup_intensity_gradients_ivox(vmap, voxel_grads, points, mask):
+    """Per-point gradient fetch from the map: one probe + one row gather
+    (reference: IntensityGradientsiVox::intensity_gradient(i),
+    intensity_gradients_ivox_.hpp:27-33). -> ([N, 3] gradients, found [N])."""
+    from gtsam_points_tpu.ops.voxelmap import lookup_voxels
+
+    row, found = lookup_voxels(vmap, points, mask)
+    return jnp.where(found[:, None], voxel_grads[row], 0.0), found

@@ -280,9 +280,9 @@ class ISAM2Ext:
             return run
 
         fn, _ = self._programs.get(("edge", cfg), builder)
-        T_s_opt, w = fn(tuple(leaves), T_s0)
-        measured = np.asarray(jnp.linalg.solve(T_t, T_s_opt), np.float32)
-        w = np.clip(np.asarray(w, np.float32), 1e-3, None)
+        T_s_opt, w = jax.device_get(fn(tuple(leaves), T_s0))  # one fetch
+        measured = (np.linalg.inv(self.estimates[t]) @ T_s_opt).astype(np.float32)
+        w = np.clip(w.astype(np.float32), 1e-3, None)
         return (t, s, measured, w)
 
     def _realize_edge_at_estimates(self, factor) -> Tuple[int, int, np.ndarray, np.ndarray]:
@@ -516,7 +516,12 @@ class ISAM2Ext:
         fn, compiled = self._programs.get(("opt", cfg), builder)
         poses0 = self._local_poses(self.window)
         res: LMResult = fn(tuple(leaves), poses0)
-        new_poses = np.asarray(res.poses)
+        # ONE device->host fetch for everything this update reads (each
+        # np.asarray/float() is a separate blocking round trip — 4 syncs cost
+        # ~3 extra tunnel latencies per update)
+        new_poses, err0, err1, n_iter = jax.device_get(
+            (res.poses, res.status.error[0], res.error, res.status.num_iterations)
+        )
         if not np.all(np.isfinite(new_poses)):
             # fallback: retry once with heavy damping (reference:
             # IncrementalFixedLagSmootherExtWithFallback rebuild,
@@ -534,19 +539,16 @@ class ISAM2Ext:
 
             hfn, hcompiled = self._programs.get(("opt", hcfg), hbuilder)
             res = hfn(tuple(leaves), poses0)
-            new_poses = np.asarray(res.poses)
+            new_poses, err0, err1, n_iter = jax.device_get(
+                (res.poses, res.status.error[0], res.error, res.status.num_iterations)
+            )
             compiled = compiled or hcompiled
             if not np.all(np.isfinite(new_poses)):
                 # keep previous estimates (indeterminant-system guard)
-                return float(res.status.error[0]), float(res.error), 0, compiled
+                return float(err0), float(err1), 0, compiled
         for k, i in mapping.items():
             self.estimates[k] = new_poses[i]
-        return (
-            float(res.status.error[0]),
-            float(res.error),
-            int(res.status.num_iterations),
-            compiled,
-        )
+        return (float(err0), float(err1), int(n_iter), compiled)
 
 
 class ISAM2ExtDummy(ISAM2Ext):

@@ -217,3 +217,43 @@ def test_correspondence_update_tolerance(scene):
         # cached path must match the fresh path's accuracy class
         assert float(rot_c) < max(2.0 * float(rot_f), 5e-2), (float(rot_c), float(rot_f))
         assert float(trans_c) < max(2.0 * float(trans_f), 1e-1), (float(trans_c), float(trans_f))
+
+
+def test_intensity_gradients_ivox_linear_field():
+    """Voxel-map-resident intensity gradients (the reference's experimental
+    IntensityGradientsiVox, intensity_gradients_ivox_.hpp:11-56): on a plane
+    z=0 carrying a linear intensity field I = a.x, the per-voxel gradients
+    must recover `a` (projected on the plane), and the per-point lookup
+    returns its voxel's gradient."""
+    from gtsam_points_tpu.factors.colored import (
+        estimate_intensity_gradients_ivox,
+        lookup_intensity_gradients_ivox,
+    )
+    from gtsam_points_tpu.ops.voxelmap import build_voxelmap
+    from gtsam_points_tpu.types.frame import make_frame
+
+    rng = np.random.RandomState(4)
+    pts = np.zeros((3000, 3), np.float32)
+    pts[:, :2] = rng.rand(3000, 2).astype(np.float32) * 10.0
+    a = np.asarray([0.3, -0.2, 0.0], np.float32)
+    inten = pts @ a
+    frame = make_frame(pts, intensities=inten, capacity=4096)
+    vmap = jax.jit(lambda f: build_voxelmap(f, 1.0))(frame)
+    grads = jax.jit(estimate_intensity_gradients_ivox)(vmap)
+
+    valid = np.asarray(vmap.keys != -1) & (np.asarray(vmap.moments[:, 0]) > 0)
+    # interior voxels (away from the field border where the LSQ is one-sided)
+    mu = np.asarray(jax.jit(lambda v: v.mean)(vmap))
+    interior = valid & (mu[:, 0] > 1.5) & (mu[:, 0] < 8.5) & (mu[:, 1] > 1.5) & (mu[:, 1] < 8.5)
+    assert interior.sum() > 20
+    g = np.asarray(grads)[interior]
+    err = np.linalg.norm(g - a[None, :], axis=1)
+    assert np.median(err) < 0.05, f"median gradient err {np.median(err)}"
+
+    # per-point lookup returns the owning voxel's gradient
+    pg, found = jax.jit(
+        lambda v, g, f: lookup_intensity_gradients_ivox(v, g, f.points, f.mask)
+    )(vmap, grads, frame)
+    assert bool(np.asarray(found)[np.asarray(frame.mask)].all())
+    some = np.asarray(pg)[np.asarray(frame.mask)]
+    assert np.isfinite(some).all()
