@@ -79,24 +79,38 @@ def main():
     jax.block_until_ready(out.points)
     emit("preprocess_ms_per_scan", marginal_ms(lambda K: chain_pre(K, preprocess_fast)), "ms")
 
-    # --- full VGICP pair registration (LM to convergence) ---
+    # --- full VGICP pair registration (LM to convergence) -----------------
+    # Corrected protocol (round 3): init near the graph.txt ground-truth
+    # relative pose (the kitti_07 submaps are ~3 m apart in their own
+    # frames; a near-identity init converges into a degenerate 21%-overlap
+    # basin — see bench.py docstring). Baseline = measured CPU registration
+    # on the same protocol (REF_BASELINE.json cov workload, best thread).
+    g = io.load_graph("/root/reference/data/kitti_07_dump/graph.txt")
+    T_rel = se3.se3_inverse(se3.pose_from_xyzq(jnp.asarray(g[0]))) @ se3.pose_from_xyzq(
+        jnp.asarray(g[1])
+    )
     vmap = jax.jit(lambda f: build_voxelmap(f, 1.0))(target)
     graph = FactorGraph(num_poses=1)
     graph.add(make_vgicp_factor(-1, 0, vmap, source, min_voxel_points=4))
     reg = jax.jit(lambda p: optimize_lm(graph, p, LMParams(max_iterations=10, max_inner_iterations=5)))
-    out = reg(jnp.eye(4)[None])
+    T0_reg = (T_rel @ se3.se3_exp(jnp.asarray([0.02, -0.01, 0.03, 0.06, -0.08, 0.05])))[None]
+    out = reg(T0_reg)
     jax.block_until_ready(out.poses)
+    rot_e, trans_e = se3.pose_error(out.poses[0], T_rel)
+    assert float(trans_e) < 0.15, f"suite registration did not converge: {float(trans_e)} m"
 
     def chain_reg(K):
-        p = jnp.eye(4)[None]
+        p = T0_reg
         for _ in range(K):
-            p = jnp.eye(4)[None] + 1e-12 * reg(p).poses
+            p = T0_reg + 1e-12 * reg(p).poses
         jax.block_until_ready(p)
 
+    ref_reg_ms = 18.918  # REF_BASELINE.json ref_cpu_vgicp_registration_cov_ms, best thread
     ms = marginal_ms(chain_reg)
-    emit("vgicp_registration_ms_per_scan", ms, "ms", baseline=30.0)
+    emit("vgicp_registration_ms_per_scan", ms, "ms", baseline=ref_reg_ms)
     print(json.dumps({"metric": "vgicp_registration_fps", "value": round(1000.0 / ms, 2),
-                      "unit": "frames/s", "vs_baseline": round((1000.0 / ms) / (1000.0 / 30.0), 2)}), flush=True)
+                      "unit": "frames/s", "vs_baseline": round(ref_reg_ms / ms, 2),
+                      "trans_err_vs_gt_m": round(float(trans_e), 4)}), flush=True)
 
     # --- odometry step (register + map insert) ---
     params = OdometryParams(
