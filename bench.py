@@ -135,24 +135,13 @@ def main():
     # iterations for its worst lane. Hot path = moments-fused Pallas
     # linearize.
     B = 64
-    vmap_c2 = jax.jit(lambda f: build_voxelmap(f, 2.0))(target)
-    vmap_c4 = jax.jit(lambda f: build_voxelmap(f, 4.0))(target)
+    from gtsam_points_tpu.registration import build_pyramid, register_scan_pyramid
 
-    def gn_stage(vm, iters, T0):
-        def body(i, T):
-            lin = vgicp_scan_linearize(vm, pts_p, mask, T, 1.0, src_covs6=covs6)
-            H = lin.H_ss + 1e-6 * jnp.eye(6)
-            xi = jax.scipy.linalg.cho_solve(
-                jax.scipy.linalg.cho_factor(H, lower=True), lin.b_s
-            )
-            return T @ se3.se3_exp(xi)
-
-        return jax.lax.fori_loop(0, iters, body, T0)
-
+    # library path: registration/pyramid.py (DEFAULT_STAGES = 2@4.0, 1@2.0,
+    # 4@1.0); the fine-level map is the `vmap` the linearize race below uses
+    maps = jax.jit(lambda f: build_pyramid(f))(target)
     batched_register = jax.jit(
-        jax.vmap(
-            lambda T0: gn_stage(vmap, 4, gn_stage(vmap_c2, 1, gn_stage(vmap_c4, 2, T0)))
-        )
+        jax.vmap(lambda T0: register_scan_pyramid(maps, source, T0))
     )
 
     rng = np.random.RandomState(0)

@@ -2,3 +2,9 @@ from gtsam_points_tpu.registration.alignment import align_points_se3, align_poin
 from gtsam_points_tpu.registration.fpfh import estimate_fpfh, FPFH_DIM
 from gtsam_points_tpu.registration.ransac import estimate_pose_ransac, RANSACParams
 from gtsam_points_tpu.registration.gnc import estimate_pose_gnc, GNCParams
+from gtsam_points_tpu.registration.pyramid import (
+    DEFAULT_STAGES,
+    build_pyramid,
+    register_pair_pyramid,
+    register_scan_pyramid,
+)

@@ -146,3 +146,25 @@ def test_pfh_dimensions_and_invariance():
     both = (feats.sum(1) > 0) & (feats_t.sum(1) > 0)
     diff = np.abs(feats[both] - feats_t[both]).sum(1)
     assert np.median(diff) < 25.0  # most points keep their histogram
+
+
+def test_pyramid_registration_converges_wide_basin(kitti_pair):
+    """Coarse-to-fine pyramid registration (registration/pyramid.py — the
+    bench.py headline path as a library API): batched perturbed inits around
+    the known pose all converge within the reference accuracy bounds, and
+    single-level GN's basin escapes are absent."""
+    from gtsam_points_tpu.registration import build_pyramid, register_scan_pyramid
+
+    target, source0, *_ , T_true = kitti_pair
+    # kitti_pair's source was moved AWAY by T_true; move it back near identity
+    source = transform_frame(jnp.asarray(T_true), source0)
+    maps = jax.jit(lambda f: build_pyramid(f))(target)
+    B = 8
+    rng = np.random.RandomState(2)
+    xis = jnp.asarray(rng.uniform(-0.1, 0.1, (B, 6)).astype(np.float32))
+    T0s = jax.vmap(se3.se3_exp)(xis)
+    reg = jax.jit(jax.vmap(lambda T0: register_scan_pyramid(maps, source, T0)))
+    Ts = reg(T0s)
+    re, te = jax.vmap(lambda T: se3.pose_error(T, jnp.eye(4)))(Ts)
+    assert float(jnp.max(re)) < 0.015, f"rot {float(jnp.max(re))}"
+    assert float(jnp.max(te)) < 0.15, f"trans {float(jnp.max(te))}"
