@@ -64,6 +64,20 @@ def main():
         )
         print(f"update {i}: {res.to_string()}")
 
+    # LATE LOOP CLOSURE: a VGICP factor to pose 0 — long since frozen. The
+    # factor is realized as a pose-graph edge by a local pair registration,
+    # the frozen chain + rigid window relax globally (optim/sparse.py), and
+    # every estimate (frozen included) updates — the reference's fluid
+    # relinearization / wildfire behavior (isam2_ext.cpp:425-520).
+    frozen_before = {k: isam.frozen[k].copy() for k in isam.frozen}
+    res = isam.update(
+        [make_vgicp_factor(0, 4, frames[0], frames[4], voxel_resolution=1.0, min_voxel_points=4)]
+    )
+    print(f"loop  0<->4: {res.to_string()}")
+    for k in sorted(frozen_before):
+        dt = np.linalg.norm(isam.frozen[k][:3, 3] - frozen_before[k][:3, 3])
+        print(f"  frozen pose {k} moved {dt * 1000:.2f} mm by the relax")
+
     est = isam.calculate_estimate()
     gauge = T_gt[0] @ np.linalg.inv(np.asarray(est[0]))
     print(f"\nwindow {isam.window}, frozen {sorted(isam.frozen)}, XLA programs built: {isam.num_compiles}")
