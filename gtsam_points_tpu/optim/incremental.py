@@ -161,5 +161,12 @@ class FixedLagSmoother:
         self._isam.update(factors, {key: initial_pose})
         return self._isam.calculate_estimate()
 
+    def add_factors(self, factors: List):
+        """Add factors without a new pose/stamp — e.g. a LATE LOOP CLOSURE: a
+        factor referencing a marginalized pose triggers the global pose-graph
+        relax and corrects frozen history (optim/isam2.py class doc).
+        -> ISAM2ResultExt."""
+        return self._isam.update(factors)
+
     def estimate(self, key: int) -> np.ndarray:
         return self._isam.calculate_estimate_pose(key)

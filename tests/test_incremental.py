@@ -80,3 +80,46 @@ def test_fixed_lag_smoother_chain():
         est = smoother.estimate(i)
         rot_e, trans_e = se3.pose_error(jnp.asarray(T_gt[i]), jnp.asarray(est))
         assert float(rot_e) < 5e-3 and float(trans_e) < 5e-2, (i, float(rot_e), float(trans_e))
+
+
+def test_fixed_lag_smoother_late_loop_closure():
+    """The smoother inherits ISAM2's late-loop-closure path: a Between factor
+    referencing a pose marginalized out of the lag window triggers the global
+    pose-graph relax and corrects the drifted frozen history."""
+    from gtsam_points_tpu.optim.incremental import FixedLagSmoother
+    from gtsam_points_tpu.optim.lm import LMParams
+
+    T_true = [np.eye(4, dtype=np.float32)]
+    for i in range(8):
+        d = np.asarray(se3.se3_exp(jnp.asarray([0.0, 0.0, 0.04 * np.cos(i), 1.0, 0.0, 0.0], jnp.float32)))
+        T_true.append((T_true[-1] @ d).astype(np.float32))
+    bias = np.asarray(se3.se3_exp(jnp.asarray([0.0, 0.0, 0.025, 0.0, 0.0, 0.0], jnp.float32)))
+    w = jnp.asarray([1e4] * 6, jnp.float32)
+
+    sm = FixedLagSmoother(lag=2.5, lm_params=LMParams(max_iterations=10))
+    sm.update(0, 0.0, jnp.eye(4), [PriorFactor(prior=jnp.eye(4), weights=jnp.full((6,), 1e6), key=0)])
+    for i in range(1, 9):
+        d_meas = np.linalg.inv(T_true[i - 1]) @ T_true[i] @ bias
+        init = sm.estimate(i - 1) @ d_meas
+        sm.update(i, float(i), jnp.asarray(init),
+                  [BetweenFactor(measured=jnp.asarray(d_meas), weights=w, target_key=i - 1, source_key=i)])
+    assert 0 in sm.frozen
+
+    def ate():
+        ests = [sm.estimate(i) for i in range(9)]
+        gauge = T_true[0] @ np.linalg.inv(np.asarray(ests[0]))
+        return float(np.mean([
+            np.linalg.norm(np.asarray(se3.se3_log(jnp.asarray(
+                (np.linalg.inv(T_true[i]) @ (gauge @ np.asarray(ests[i])))[None]))[0])[3:])
+            for i in range(9)
+        ]))
+
+    ate_before = ate()
+    loop = BetweenFactor(
+        measured=jnp.asarray(np.linalg.inv(T_true[0]) @ T_true[8]),
+        weights=jnp.asarray([1e5] * 6, jnp.float32), target_key=0, source_key=8,
+    )
+    res = sm.add_factors([loop])
+    assert res.num_loop_closures == 1
+    ate_after = ate()
+    assert ate_after < 0.6 * ate_before, f"ATE {ate_before:.4f} -> {ate_after:.4f}"
