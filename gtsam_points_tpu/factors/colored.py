@@ -262,8 +262,7 @@ def estimate_intensity_gradients_ivox(vmap, num_neighbor_cells: int = 27):
     to target ColorConsistencyFactor at a map."""
     from gtsam_points_tpu.ops import voxel_keys as vk
     from gtsam_points_tpu.ops.eigh3 import eigh3
-    from gtsam_points_tpu.ops.hash_index import probe
-    from gtsam_points_tpu.ops.voxelmap import finalize_intensity, finalize_mean
+    from gtsam_points_tpu.ops.voxelmap import finalize_intensity, finalize_mean, lookup_rows
 
     valid = vmap.keys != vk.INVALID_KEY
     mu = finalize_mean(vmap.moments)  # [C, 3]
@@ -273,7 +272,7 @@ def estimate_intensity_gradients_ivox(vmap, num_neighbor_cells: int = 27):
     cell_coords = vk.unpack_key(vmap.keys)
     nb_keys = vk.pack_coords(cell_coords[:, None, :] + offs[None, :, :])
     nb_keys = jnp.where(valid[:, None], nb_keys, vk.INVALID_KEY)
-    nb_rows, nb_found = probe(vmap.hash_index, vmap.keys, nb_keys)  # [C, O]
+    nb_rows, nb_found = lookup_rows(vmap, nb_keys)  # [C, O]
     rows = jnp.where(nb_found, nb_rows, 0)
     nb_mu = mu[rows]  # [C, O, 3]
     nb_int = inten[rows]  # [C, O]

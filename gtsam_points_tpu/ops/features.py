@@ -104,8 +104,7 @@ def estimate_normals_covs_moments(
     because the eigenvalue regularization [1e-3, 1, 1] only keeps the plane
     orientation anyway (tests/test_data_convergence.py runs both)."""
     from gtsam_points_tpu.ops import voxel_keys as vk
-    from gtsam_points_tpu.ops.hash_index import probe
-    from gtsam_points_tpu.ops.voxelmap import build_voxelmap
+    from gtsam_points_tpu.ops.voxelmap import build_voxelmap, lookup_rows
 
     vmap = build_voxelmap(frame, leaf)
 
@@ -114,7 +113,7 @@ def estimate_normals_covs_moments(
     cell_coords = vk.unpack_key(vmap.keys)
     nb_keys = vk.pack_coords(cell_coords[:, None, :] + offs[None, :, :])
     nb_keys = jnp.where((vmap.keys != vk.INVALID_KEY)[:, None], nb_keys, vk.INVALID_KEY)
-    nb_rows, nb_found = probe(vmap.hash_index, vmap.keys, nb_keys)  # [C, O]
+    nb_rows, nb_found = lookup_rows(vmap, nb_keys)  # [C, O]
     nb_mom = vmap.moments[jnp.where(nb_found, nb_rows, 0)]  # [C, O, 16]
     blended = jnp.sum(nb_mom * nb_found[..., None], axis=1)  # [C, 16]
 
@@ -144,7 +143,7 @@ def estimate_normals_covs_moments(
 
     # per point: one probe + row gathers of its cell's normal/cov
     keys = vk.point_keys(frame.points, frame.mask, leaf)
-    row, found = probe(vmap.hash_index, vmap.keys, keys)
+    row, found = lookup_rows(vmap, keys)
     normals = cell_normals[row]
     covs = cell_cov[row]
 

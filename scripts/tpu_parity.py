@@ -270,7 +270,6 @@ def main():
     # pipeline with the XLA fallback by more than 1.5x) -------------------
     if platform in ("tpu", "axon"):
         from gtsam_points_tpu.ops import voxel_keys as vk
-        from gtsam_points_tpu.ops.hash_index import probe as hprobe
         from gtsam_points_tpu.ops.pallas_linearize import vgicp_scan_linearize
         from gtsam_points_tpu.ops.voxelmap import build_voxelmap
 
@@ -284,7 +283,8 @@ def main():
         def pipeline_xla(d):
             pm = planar.transform(d, q_p)
             keys = vk.point_keys_planar(pm, q_mask, vm.leaf)
-            row, found = hprobe(vm.hash_index, vm.keys, keys)
+            from gtsam_points_tpu.ops.voxelmap import lookup_rows
+            row, found = lookup_rows(vm, keys)
             momT_q = vm.moments[row].T[:10]
             return linearize_vgicp_moments_xla(q_p, momT_q, found & q_mask, d, 1.0).error
 

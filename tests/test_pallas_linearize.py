@@ -92,14 +92,14 @@ def test_moments_kernel_matches_fallback(moments_payload, monkeypatch):
     itself is exactly the lookup_fetch_planar -> sym_inv -> planar pipeline
     (asserted in test_scan_linearize_matches_classic_pipeline)."""
     from jax.experimental.pallas import tpu as pltpu
-    from gtsam_points_tpu.ops.hash_index import probe as hprobe
     from gtsam_points_tpu.ops import voxel_keys as vk
+    from gtsam_points_tpu.ops.voxelmap import lookup_rows
 
     vm, src, covs6, delta = moments_payload
     pts_p = src.points.T
     pm = planar.transform(delta, pts_p)
     keys = vk.point_keys_planar(pm, src.mask, vm.leaf)
-    row, found = hprobe(vm.hash_index, vm.keys, keys)
+    row, found = lookup_rows(vm, keys)
     momT = vm.moments[row, :10].T
     found = found & src.mask
 
