@@ -4,6 +4,8 @@ from gtsam_points_tpu.registration.ransac import estimate_pose_ransac, RANSACPar
 from gtsam_points_tpu.registration.gnc import estimate_pose_gnc, GNCParams
 from gtsam_points_tpu.registration.pyramid import (
     DEFAULT_STAGES,
+    PyramidStage,
+    QUALITY_STAGES,
     build_pyramid,
     register_pair_pyramid,
     register_scan_pyramid,
