@@ -270,8 +270,21 @@ def main():
             path_raw_ms[name] = float("inf")
             path_ms[name + "_error"] = repr(e)[:120]
     best_path = min((k for k in paths), key=lambda k: path_ms[k])
-    ms_per_scan = path_ms[best_path]
     raw_ms_per_scan = path_raw_ms[best_path]
+    # stability: re-measure the winner 5 times with fresh chains; headline =
+    # median, spread published (VERDICT r3 item 9)
+    winner_runs = [path_ms[best_path]]
+    for _ in range(4):
+        m, _ = marginal_lin_ms(paths[best_path])
+        winner_runs.append(m)
+    winner_runs.sort()
+    ms_per_scan = winner_runs[len(winner_runs) // 2]
+    lin_spread = {
+        "min": round(winner_runs[0], 4),
+        "max": round(winner_runs[-1], 4),
+        "spread_pct": round(100.0 * (winner_runs[-1] - winner_runs[0]) / max(ms_per_scan, 1e-9), 1),
+        "runs": 5,
+    }
 
     # ---- 3) roofline evidence ------------------------------------------
     # The hot path is GATHER-RATE bound, not stream-bandwidth bound: a TPU
@@ -343,6 +356,7 @@ def main():
                 "linearize_vs_baseline": round(ref["linearize_ms"] / ms_per_scan, 2),
                 "raw_linearize_ms_per_scan": round(raw_ms_per_scan, 4),
                 "linearize_path": best_path,
+                "linearize_spread": lin_spread,
                 "quality_frames_per_s": round(quality_frames_per_s, 2),
                 "quality_vs_baseline": round(quality_frames_per_s / ref_frames_per_s, 2),
                 "quality_max_trans_err_vs_gt_m": round(float(jnp.max(trans_q)), 5),

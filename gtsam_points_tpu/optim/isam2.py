@@ -120,6 +120,7 @@ class ISAM2Ext:
         lm_params: Optional[LMParams] = None,
         max_poses: Optional[int] = None,
         enable_loop_closure: bool = True,
+        full_edge_info: bool = True,
     ):
         if max_poses is not None:  # legacy alias: capacity == window bound
             window_size = max_poses
@@ -134,7 +135,13 @@ class ISAM2Ext:
         self.num_values = 0
         self._programs = _ProgramCache()
         self.enable_loop_closure = enable_loop_closure
-        # pose-graph skeleton of frozen history: (t, s, measured 4x4, w [6])
+        # full_edge_info=True retains each retired factor's FULL [6,6] H_ss
+        # (rot-trans coupling) on its skeleton edge, matching the reference's
+        # dense Hessian retention (integrated_matching_cost_factor.cpp:37-55);
+        # False keeps the round-3 diagonal approximation (stored as diag
+        # matrices — the skeleton format is [6,6] either way).
+        self.full_edge_info = full_edge_info
+        # pose-graph skeleton of frozen history: (t, s, measured 4x4, info [6,6])
         self.history_edges: List[Tuple[int, int, np.ndarray, np.ndarray]] = []
         # priors retired by marginalization: (key, T 4x4, w [6])
         self.history_priors: List[Tuple[int, np.ndarray, np.ndarray]] = []
@@ -168,7 +175,16 @@ class ISAM2Ext:
                 self.factors.append(self._adopt(f))
         if loop_factors:
             for f in loop_factors:
-                self.loop_edges.append(self._realize_edge(f))
+                if hasattr(f, "prior") and hasattr(f, "key"):
+                    # a PriorFactor on a frozen key needs no edge realization:
+                    # it joins the history skeleton directly and the relax
+                    # pulls the trajectory toward it (advisor finding, r3)
+                    self.history_priors.append(
+                        (f.key, np.asarray(f.prior, np.float32),
+                         np.asarray(f.weights, np.float32))
+                    )
+                else:
+                    self.loop_edges.append(self._realize_edge(f))
             self._relax()
             # keep the loop constraint in the active graph where unary baking
             # supports it (frozen TARGET), at the RELAXED frozen estimate
@@ -238,27 +254,48 @@ class ISAM2Ext:
 
     # -- loop closures -------------------------------------------------------
 
+    def _edge_info(self, H_ss: np.ndarray) -> np.ndarray:
+        """Retired-factor information from its source-block Hessian: the full
+        [6,6] (PD-floored by eigenvalue clip) when full_edge_info, else the
+        diagonal approximation as a diag matrix."""
+        H = np.asarray(H_ss, np.float64)
+        if not self.full_edge_info:
+            return np.diag(np.clip(np.diagonal(H), 1e-3, None)).astype(np.float32)
+        H = 0.5 * (H + H.T)
+        w, V = np.linalg.eigh(H)
+        return (V @ np.diag(np.clip(w, 1e-3, None)) @ V.T).astype(np.float32)
+
     def _realize_edge(self, factor) -> Tuple[int, int, np.ndarray, np.ndarray]:
         """Turn a factor touching frozen pose(s) into a pose-graph edge
-        (t, s, measured 4x4, weights [6]).
+        (t, s, measured 4x4, info [6,6]).
 
-        BetweenFactor: direct. Matching-cost factor: LOCAL PAIR REGISTRATION —
-        fix the target at its current estimate, optimize the source pose under
-        the factor alone (one cached jitted LM program), measured = the
-        registered relative pose, weights = the factor's Hessian diagonal at
-        the optimum (the information a dense registration carries about the
-        relative pose; diagonal approximation, standard pose-graph practice)."""
+        BetweenFactor: direct (diag(weights) information). Matching-cost
+        factor: LOCAL PAIR REGISTRATION — fix the target at its current
+        estimate, optimize the source pose under the factor alone (one
+        cached jitted LM program), measured = the registered relative pose,
+        info = the factor's source-block Hessian at the optimum (full [6,6]
+        retaining rot-trans coupling when full_edge_info, its diagonal
+        otherwise — see _edge_info)."""
+        for k in (getattr(factor, "target_key", None), getattr(factor, "source_key", None)):
+            if k is not None and k >= 0 and k not in self.estimates:
+                raise ValueError(
+                    f"loop-closure factor {type(factor).__name__} references key {k}, "
+                    f"which has no estimate in this ISAM2 session (known keys: "
+                    f"{sorted(self.estimates)[:8]}{'...' if len(self.estimates) > 8 else ''})"
+                )
         if hasattr(factor, "measured"):  # BetweenFactor
             return (
                 factor.target_key,
                 factor.source_key,
                 np.asarray(factor.measured, np.float32),
-                np.asarray(factor.weights, np.float32),
+                np.diag(np.asarray(factor.weights, np.float32)),
             )
         if not (hasattr(factor, "target_key") and hasattr(factor, "fixed_target_pose")):
             raise ValueError(
                 f"cannot realize {type(factor).__name__} touching frozen pose(s) "
-                "as a loop-closure edge"
+                "as a loop-closure edge (supported: BetweenFactor and matching-cost "
+                "factors with a fixable target; PriorFactors on frozen keys are "
+                "handled by add-as-history-prior upstream)"
             )
         t, s = factor.target_key, factor.source_key
         T_t = jnp.asarray(self.estimates[t])
@@ -275,27 +312,26 @@ class ISAM2Ext:
                 g = FactorGraph([f], num_poses=1)
                 res = optimize_lm(g, T_s0[None], LMParams(max_iterations=15))
                 lin = f.linearize(res.poses)
-                return res.poses[0], jnp.diagonal(lin.H_ss)
+                return res.poses[0], lin.H_ss
 
             return run
 
         fn, _ = self._programs.get(("edge", cfg), builder)
-        T_s_opt, w = jax.device_get(fn(tuple(leaves), T_s0))  # one fetch
+        T_s_opt, H_ss = jax.device_get(fn(tuple(leaves), T_s0))  # one fetch
         measured = (np.linalg.inv(self.estimates[t]) @ T_s_opt).astype(np.float32)
-        w = np.clip(w.astype(np.float32), 1e-3, None)
-        return (t, s, measured, w)
+        return (t, s, measured, self._edge_info(H_ss))
 
     def _realize_edge_at_estimates(self, factor) -> Tuple[int, int, np.ndarray, np.ndarray]:
         """History edge for a binary factor being retired by marginalization:
         the window was just optimized, so the current estimates ARE the
-        factor's optimum — measured directly from estimates, weights =
-        Hessian diagonal there (no re-registration)."""
+        factor's optimum — measured directly from estimates, info = the
+        factor's source-block Hessian there (no re-registration)."""
         if hasattr(factor, "measured"):  # BetweenFactor
             return (
                 factor.target_key,
                 factor.source_key,
                 np.asarray(factor.measured, np.float32),
-                np.asarray(factor.weights, np.float32),
+                np.diag(np.asarray(factor.weights, np.float32)),
             )
         t, s = factor.target_key, factor.source_key
         local = remap_keys(factor, {t: 0, s: 1})
@@ -305,15 +341,15 @@ class ISAM2Ext:
         def builder():
             def run(leaves, poses2):
                 f = jax.tree_util.tree_unflatten(treedef, leaves)
-                return jnp.diagonal(f.linearize(poses2).H_ss)
+                return f.linearize(poses2).H_ss
 
             return run
 
         fn, _ = self._programs.get(("edgeinfo", cfg), builder)
         poses2 = jnp.asarray(np.stack([self.estimates[t], self.estimates[s]]))
-        w = np.clip(np.asarray(fn(tuple(leaves), poses2), np.float32), 1e-3, None)
+        info = self._edge_info(np.asarray(fn(tuple(leaves), poses2)))
         measured = (np.linalg.inv(self.estimates[t]) @ self.estimates[s]).astype(np.float32)
-        return (t, s, measured, w)
+        return (t, s, measured, info)
 
     def _try_bake(self, factor):
         """Unary-bake a loop factor into the active graph where supported
@@ -354,7 +390,7 @@ class ISAM2Ext:
         edges = list(self.history_edges) + list(self.loop_edges)
         for a, b in zip(self.window, self.window[1:]):
             m = np.linalg.inv(self.estimates[a]) @ self.estimates[b]
-            edges.append((a, b, m.astype(np.float32), np.full(6, 1e6, np.float32)))
+            edges.append((a, b, m.astype(np.float32), np.diag(np.full(6, 1e6, np.float32))))
 
         priors = list(self.history_priors)
         for f in self.factors:
@@ -371,7 +407,7 @@ class ISAM2Ext:
         E, Q, P = pad(len(edges)), pad(len(priors)), len(keys)
         eye = np.eye(4, dtype=np.float32)
         measured = np.stack([e[2] for e in edges] + [eye] * (E - len(edges)))
-        e_w = np.stack([e[3] for e in edges] + [np.zeros(6, np.float32)] * (E - len(edges)))
+        e_info = np.stack([e[3] for e in edges] + [np.zeros((6, 6), np.float32)] * (E - len(edges)))
         t_idx = np.asarray([idx[e[0]] for e in edges] + [0] * (E - len(edges)), np.int32)
         s_idx = np.asarray([idx[e[1]] for e in edges] + [0] * (E - len(edges)), np.int32)
         prior_T = np.stack([p[1] for p in priors] + [eye] * (Q - len(priors)))
@@ -387,12 +423,13 @@ class ISAM2Ext:
         fn, _ = self._programs.get(("relax", P, E, Q), builder)
         pg = PoseGraphEdges(
             measured=jnp.asarray(measured),
-            weights=jnp.asarray(e_w),
+            weights=jnp.asarray(np.diagonal(e_info, axis1=1, axis2=2).copy()),
             t_idx=jnp.asarray(t_idx),
             s_idx=jnp.asarray(s_idx),
             prior_T=jnp.asarray(prior_T),
             prior_w=jnp.asarray(prior_w),
             prior_idx=jnp.asarray(prior_idx),
+            info=jnp.asarray(e_info),
         )
         poses0 = jnp.asarray(np.stack([self.estimates[k] for k in keys]))
         res = fn(pg, poses0)

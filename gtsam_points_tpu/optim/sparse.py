@@ -42,6 +42,14 @@ class PoseGraphEdges(NamedTuple):
     prior_T:  [Q, 4, 4]   absolute priors
     prior_w:  [Q, 6]
     prior_idx:[Q] int32
+    info:     [E, 6, 6]   OPTIONAL full information matrices; when present
+              they replace diag(weights) in linearize/error. This retains
+              the rot-trans coupling of a retired dense factor's Hessian —
+              the reference keeps the full multi-key Hessian
+              (src/gtsam_points/factors/integrated_matching_cost_factor.cpp:
+              37-55); the diagonal path remains for odometry-style graphs
+              whose edges are axis-aligned by construction.
+    prior_info: [Q, 6, 6] OPTIONAL full prior information.
     """
 
     measured: jax.Array
@@ -51,6 +59,8 @@ class PoseGraphEdges(NamedTuple):
     prior_T: jax.Array
     prior_w: jax.Array
     prior_idx: jax.Array
+    info: Optional[jax.Array] = None
+    prior_info: Optional[jax.Array] = None
 
     @property
     def num_edges(self) -> int:
@@ -98,31 +108,35 @@ def linearize_pose_graph(pg: PoseGraphEdges, poses: jax.Array) -> SparseSystem:
     """One vmapped linearization of every edge + prior -> SparseSystem."""
     P = poses.shape[0]
 
-    def lin_edge(measured, w, T_a, T_b):
+    def lin_edge(measured, Om, T_a, T_b):
         r0 = _between_residual(measured, T_a, T_b)
 
         def at(xi):
             return _between_residual(measured, T_a @ se3.se3_exp(xi[:6]), T_b @ se3.se3_exp(xi[6:]))
 
         J = jax.jacfwd(at)(jnp.zeros((12,), jnp.float32))
-        WJ = J * w[:, None]
+        WJ = Om @ J  # [6, 12]
         H = J.T @ WJ
-        b = -(J.T @ (w * r0))
-        return H[:6, :6], H[6:, 6:], H[:6, 6:], b[:6], b[6:], jnp.sum(w * r0 * r0)
+        Wr = Om @ r0
+        b = -(J.T @ Wr)
+        return H[:6, :6], H[6:, 6:], H[:6, 6:], b[:6], b[6:], jnp.dot(r0, Wr)
 
     T_a = poses[pg.t_idx]
     T_b = poses[pg.s_idx]
-    H_tt, H_ss, H_ts, b_t, b_s, e_err = jax.vmap(lin_edge)(pg.measured, pg.weights, T_a, T_b)
+    Om = pg.info if pg.info is not None else jax.vmap(jnp.diag)(pg.weights)
+    H_tt, H_ss, H_ts, b_t, b_s, e_err = jax.vmap(lin_edge)(pg.measured, Om, T_a, T_b)
 
-    def lin_prior(prior, w, T):
+    def lin_prior(prior, Om, T):
         r0 = se3.se3_log(se3.se3_inverse(prior) @ T)
         J = jax.jacfwd(lambda xi: se3.se3_log(se3.se3_inverse(prior) @ (T @ se3.se3_exp(xi))))(
             jnp.zeros((6,), jnp.float32)
         )
-        WJ = J * w[:, None]
-        return J.T @ WJ, -(J.T @ (w * r0)), jnp.sum(w * r0 * r0)
+        WJ = Om @ J
+        Wr = Om @ r0
+        return J.T @ WJ, -(J.T @ Wr), jnp.dot(r0, Wr)
 
-    pH, pb, p_err = jax.vmap(lin_prior)(pg.prior_T, pg.prior_w, poses[pg.prior_idx])
+    pOm = pg.prior_info if pg.prior_info is not None else jax.vmap(jnp.diag)(pg.prior_w)
+    pH, pb, p_err = jax.vmap(lin_prior)(pg.prior_T, pOm, poses[pg.prior_idx])
 
     diag = (
         jnp.zeros((P, 6, 6), jnp.float32)
@@ -154,8 +168,13 @@ def linearize_pose_graph(pg: PoseGraphEdges, poses: jax.Array) -> SparseSystem:
 
 def pose_graph_error(pg: PoseGraphEdges, poses: jax.Array) -> jax.Array:
     r = jax.vmap(_between_residual)(pg.measured, poses[pg.t_idx], poses[pg.s_idx])
-    e = jnp.sum(pg.weights * r * r)
+    if pg.info is not None:
+        e = jnp.einsum("ei,eij,ej->", r, pg.info, r)
+    else:
+        e = jnp.sum(pg.weights * r * r)
     rp = jax.vmap(lambda p, T: se3.se3_log(se3.se3_inverse(p) @ T))(pg.prior_T, poses[pg.prior_idx])
+    if pg.prior_info is not None:
+        return e + jnp.einsum("qi,qij,qj->", rp, pg.prior_info, rp)
     return e + jnp.sum(pg.prior_w * rp * rp)
 
 

@@ -190,9 +190,10 @@ def place_sharded(svmap: GaussianVoxelMap, mesh: Mesh, axis="shard") -> Gaussian
     num_shards must then equal n_hosts * chips_per_host, and the linearize
     psum becomes a hierarchical ICI-then-DCN reduction."""
     _check_shard_axis(svmap, mesh, axis)
+    from gtsam_points_tpu.parallel.sharding import global_put
 
     def put(x):
-        return jax.device_put(x, NamedSharding(mesh, P(axis, *([None] * (x.ndim - 1)))))
+        return global_put(x, NamedSharding(mesh, P(axis, *([None] * (x.ndim - 1)))))
 
     return jax.tree_util.tree_map(put, svmap)
 

@@ -76,6 +76,18 @@ def make_mesh_2d(
     return Mesh(np.asarray(devs[:n]).reshape(n_hosts, chips_per_host), axes)
 
 
+def global_put(x, sharding):
+    """device_put that also works in MULTI-PROCESS runs. jax.device_put
+    cross-checks host values across processes with an equality assert that
+    treats NaN != NaN — and voxel probe tables legitimately contain NaN
+    (int32 keys bitcast to f32). jax.make_array_from_callback builds the
+    global array from per-process local shards without that check."""
+    if jax.process_count() > 1:
+        xnp = np.asarray(x)
+        return jax.make_array_from_callback(xnp.shape, sharding, lambda idx: xnp[idx])
+    return jax.device_put(x, sharding)
+
+
 def shard_frame(frame: Frame, mesh: Mesh, axis: str = "point") -> Frame:
     """Place every per-point leaf of a Frame sharded along the mesh axis.
     Capacity must be divisible by the axis size."""
@@ -84,7 +96,7 @@ def shard_frame(frame: Frame, mesh: Mesh, axis: str = "point") -> Frame:
     def put(x):
         if x is None:
             return None
-        return jax.device_put(x, NamedSharding(mesh, P(axis, *([None] * (x.ndim - 1)))))
+        return global_put(x, NamedSharding(mesh, P(axis, *([None] * (x.ndim - 1)))))
 
     return jax.tree_util.tree_map(put, frame)
 
@@ -94,6 +106,6 @@ def replicate(tree, mesh: Mesh):
     def put(x):
         if x is None:
             return None
-        return jax.device_put(x, NamedSharding(mesh, P(*([None] * x.ndim))))
+        return global_put(x, NamedSharding(mesh, P(*([None] * x.ndim))))
 
     return jax.tree_util.tree_map(put, tree)

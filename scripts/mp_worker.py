@@ -1,0 +1,132 @@
+"""One process of a REAL multi-process distributed run (2 processes x 4 CPU
+devices each). Spawned by tests/test_multiprocess_distributed.py; exercises
+the code paths that single-process virtual-mesh tests cannot: a live
+jax.distributed cluster with process_index != 0, make_mesh_2d's
+(process_index, id) device ordering against actual multi-process device
+lists, cross-process device_put of sharded voxel-map shards, and the
+hierarchical (chip-then-host) psum of the Linearized payload riding gloo
+CPU collectives (the DCN leg of docs/DISTRIBUTED.md).
+
+Usage: python scripts/mp_worker.py <process_id> <coordinator_port> <out_json>
+"""
+
+import json
+import os
+import sys
+
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=4"
+)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    pid = int(sys.argv[1])
+    port = int(sys.argv[2])
+    out_path = sys.argv[3]
+
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.distributed.initialize(
+        coordinator_address=f"127.0.0.1:{port}", num_processes=2, process_id=pid
+    )
+
+    report = {"process_id": pid, "checks": {}}
+
+    def check(name, ok, **kw):
+        report["checks"][name] = {"ok": bool(ok), **kw}
+
+    check("cluster", jax.process_count() == 2 and len(jax.devices()) == 8,
+          process_count=jax.process_count(), n_devices=len(jax.devices()),
+          process_index=jax.process_index())
+
+    from gtsam_points_tpu.parallel import (
+        build_sharded_voxelmap,
+        linearize_vgicp_sharded,
+        make_mesh_2d,
+        place_sharded,
+        sharded_num_voxels,
+    )
+    from gtsam_points_tpu.factors import make_vgicp_factor
+    from gtsam_points_tpu.ops.voxelmap import build_voxelmap
+    from gtsam_points_tpu.types.frame import make_frame
+    from gtsam_points_tpu.utils import se3
+
+    mesh = make_mesh_2d()  # auto-detect: 2 hosts x 4 chips
+    rows = [[d.process_index for d in row] for row in mesh.devices]
+    # each mesh row must be ONE host's chips (this is what the
+    # (process_index, id) sort guarantees; a wrong sort interleaves hosts)
+    rows_ok = all(len(set(r)) == 1 for r in rows) and [r[0] for r in rows] == [0, 1]
+    check("mesh_rows_one_host_each", rows_ok, rows=rows,
+          shape=list(mesh.devices.shape))
+
+    # deterministic scene, identical on both processes
+    n = 6144
+    rng = np.random.RandomState(0)
+    pts = []
+    for ax in range(3):
+        p = rng.rand(n // 3, 3).astype(np.float32) * 20 - 10
+        p[:, ax] = np.sign(p[:, ax]) * 10 + rng.randn(n // 3).astype(np.float32) * 0.05
+        pts.append(p)
+    pts = np.concatenate(pts)
+    covs = np.tile((0.01 * np.eye(3, dtype=np.float32))[None], (n, 1, 1))
+    frame = make_frame(pts, covs=covs, capacity=n)
+
+    xi = np.asarray([0.02, -0.01, 0.03, 0.2, -0.1, 0.15], dtype=np.float32)
+    T = se3.se3_exp(jnp.asarray(xi))
+    src = make_frame(
+        np.asarray(se3.transform_points(se3.se3_inverse(T), frame.points)),
+        covs=np.asarray(frame.covs),
+        capacity=frame.capacity,
+    )
+
+    axis = ("host", "chip")
+    svmap_local = build_sharded_voxelmap(
+        frame, 1.0, num_shards=8, capacity_per_shard=frame.capacity // 4
+    )
+    # cross-process placement: shard axis split over (host, chip) — shards
+    # 4..7 live on process 1's devices
+    svmap = place_sharded(svmap_local, mesh, axis=axis)
+    check(
+        "sharded_num_voxels_after_cross_process_place",
+        True,
+        num_voxels=int(sharded_num_voxels(svmap_local)),
+    )
+
+    # distributed linearize: per-shard local reduction + hierarchical psum
+    # (chip axis within a process, host axis ACROSS processes over gloo)
+    lin_sh = jax.jit(
+        lambda sv, s, d: linearize_vgicp_sharded(sv, s, d, mesh, axis=axis, min_voxel_points=4.0)
+    )(svmap, src, jnp.eye(4))
+    lin_sh = jax.tree.map(lambda x: np.asarray(x), lin_sh)
+
+    # single-device reference, computed independently in this process
+    vmap = build_voxelmap(frame, 1.0)
+    ref = make_vgicp_factor(0, 1, vmap, src, min_voxel_points=4).linearize(
+        jnp.stack([jnp.eye(4), jnp.eye(4)])
+    )
+
+    def relck(name, a, b, tol):
+        a, b = np.asarray(a), np.asarray(b)
+        r = float(np.max(np.abs(a - b)) / (np.max(np.abs(b)) + 1e-12))
+        check(name, r < tol, rel_err=r)
+
+    check("inliers_match", int(lin_sh.num_inliers) == int(ref.num_inliers),
+          sharded=int(lin_sh.num_inliers), ref=int(ref.num_inliers))
+    relck("error_match", lin_sh.error, ref.error, 2e-4)
+    relck("H_ss_match", lin_sh.H_ss, ref.H_ss, 5e-3)
+    relck("b_t_match", lin_sh.b_t, ref.b_t, 5e-3)
+
+    report["all_ok"] = all(c["ok"] for c in report["checks"].values())
+    with open(out_path, "w") as f:
+        json.dump(report, f, indent=1)
+    jax.distributed.shutdown()
+    return 0 if report["all_ok"] else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

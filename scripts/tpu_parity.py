@@ -24,6 +24,22 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
+# Recorded on-device timings (v5e via axon tunnel, round 4, marginal
+# protocol). Each perf check GATES against its recorded number with a 20%
+# regression allowance (VERDICT r3 item 5): a regression fails the check
+# and flips all_ok. A check with no recorded baseline (new kernel) passes
+# on the vs-XLA sanity bound alone and records its timing for the next
+# round to pin.
+PERF_BASELINES_MS = {
+    "perf_linearize_fused_vs_xla_fallback": 0.0243,
+    "perf_error_fused_vs_xla_fallback": 0.0118,
+    "perf_moments_fused_vs_xla_fallback": 0.0304,
+    "perf_vgicp_scan_pipeline_kernel_vs_xla": 0.0777,
+    "perf_unary_pallas_vs_xla": 0.0334,
+    "perf_batched_pyramid_iteration": 6.38,
+}
+REGRESSION_GRACE = 1.2
+
 
 def main():
     import jax
@@ -152,7 +168,7 @@ def main():
     # for timing noise. ------------------------------------------------------
     from gtsam_points_tpu.utils.benchtime import chain_marginal
 
-    def marginal_kernel_ms(fn, L1=100, L2=1100):
+    def marginal_kernel_ms(fn, L1=100, L2=3100):
         def make_loop(lreps):
             @jax.jit
             def loop(d):
@@ -175,6 +191,22 @@ def main():
         marg_s, _ = chain_marginal(run, L1, L2, trials=5)
         return marg_s * 1000.0
 
+    def consume(lin):
+        """Reduce a Linearized to one scalar that DEPENDS ON EVERY output.
+        Benchmarked callables must consume H and b, not just the error — a
+        .error-only probe lets XLA dead-code-eliminate the entire Jacobian/
+        Hessian computation in the fallback while the fused kernel cannot,
+        which is exactly the unfair race behind round 3's 0.26-0.42x
+        "slowdowns" (and their apparent reversal here once fixed)."""
+        return (
+            lin.error
+            + jnp.sum(lin.H_ss)
+            + jnp.sum(lin.H_tt)
+            + jnp.sum(lin.H_ts)
+            + jnp.sum(lin.b_s)
+            + jnp.sum(lin.b_t)
+        )
+
     # Perf arrays at the production workload size (bench.py: 25088 lanes) —
     # at 8k lanes XLA's fused elementwise path wins on fixed overheads; the
     # kernels exist for the 25k+ regime they are dispatched at.
@@ -190,10 +222,10 @@ def main():
     perf_pairs = [
         (
             "linearize_fused",
-            lambda d: linearize_fused(p_srcP, muP, W6P, maskP, d).error,
-            lambda d: planar.linearize_point_system(
+            lambda d: consume(linearize_fused(p_srcP, muP, W6P, maskP, d)),
+            lambda d: consume(planar.linearize_point_system(
                 p_srcP, planar.transform(d, p_srcP), planar.transform(d, p_srcP) - muP, W6P, maskP, d[:3, :3]
-            ).error,
+            )),
         ),
         (
             "error_fused",
@@ -202,8 +234,8 @@ def main():
         ),
         (
             "moments_fused",
-            lambda d: linearize_vgicp_moments(p_srcP, momTP, maskP, d, 3.0, 1e-3, sc6P).error,
-            lambda d: linearize_vgicp_moments_xla(p_srcP, momTP, maskP, d, 3.0, 1e-3, sc6P).error,
+            lambda d: consume(linearize_vgicp_moments(p_srcP, momTP, maskP, d, 3.0, 1e-3, sc6P)),
+            lambda d: consume(linearize_vgicp_moments_xla(p_srcP, momTP, maskP, d, 3.0, 1e-3, sc6P)),
         ),
     ]
     if platform in ("tpu", "axon"):
@@ -213,16 +245,61 @@ def main():
         # round-2 class of pathology (the 70x-slow moments kernel), not to
         # adjudicate a 20% horse race — the pipeline-level race below (and
         # bench.py's in-bench race) does that.
-        for name, kernel_fn, xla_fn in perf_pairs:
-            k_ms = marginal_kernel_ms(kernel_fn)
-            x_ms = marginal_kernel_ms(xla_fn)
+        def record_perf(check_name, k_ms, x_ms, sanity=3.0):
+            base = PERF_BASELINES_MS.get(check_name)
+            degenerate = x_ms <= 1e-6  # tunnel noise swallowed the signal
+            ok = degenerate or k_ms <= sanity * x_ms
+            if base is not None:
+                ok = ok and (k_ms <= REGRESSION_GRACE * base)
             record(
-                f"perf_{name}_vs_xla_fallback",
-                k_ms <= 3.0 * x_ms,
+                check_name,
+                ok,
                 kernel_ms=round(k_ms, 4),
                 xla_fallback_ms=round(x_ms, 4),
                 speedup=round(x_ms / max(k_ms, 1e-9), 2),
+                recorded_baseline_ms=base,
+                measurement_degenerate=bool(degenerate),
+                regression_gate=(
+                    f"<= {REGRESSION_GRACE}x recorded" if base is not None
+                    else "no recorded baseline (first round for this check)"
+                ),
             )
+
+        for name, kernel_fn, xla_fn in perf_pairs:
+            k_ms = marginal_kernel_ms(kernel_fn)
+            x_ms = marginal_kernel_ms(xla_fn)
+            record_perf(f"perf_{name}_vs_xla_fallback", k_ms, x_ms)
+
+    # ---- 1d) unary (source-block-only) kernel vs its XLA twin ------------
+    from gtsam_points_tpu.ops.pallas_linearize import (
+        linearize_vgicp_unary,
+        linearize_vgicp_unary_xla,
+    )
+
+    for variant, covs_arg in (("eps", None), ("src_covs", sc6)):
+        lu_k = jax.jit(
+            lambda *a, c=covs_arg: linearize_vgicp_unary(a[0], a[1], a[2], a[3], 3.0, 1e-3, c)
+        )(p_src, momT, mask, delta)
+        lu_x = jax.jit(
+            lambda *a, c=covs_arg: linearize_vgicp_unary_xla(a[0], a[1], a[2], a[3], 3.0, 1e-3, c)
+        )(p_src, momT, mask, delta)
+        record(
+            f"pallas_unary_{variant}_vs_xla_on_device",
+            max(rel(lu_k.H_ss, lu_x.H_ss), rel(lu_k.b_s, lu_x.b_s), rel(lu_k.error, lu_x.error))
+            < 2e-3,
+            H_ss_rel=rel(lu_k.H_ss, lu_x.H_ss),
+            b_s_rel=rel(lu_k.b_s, lu_x.b_s),
+            error_rel=rel(lu_k.error, lu_x.error),
+        )
+
+    if platform in ("tpu", "axon"):
+        k_ms = marginal_kernel_ms(
+            lambda d: consume(linearize_vgicp_unary(p_srcP, momTP, maskP, d, 3.0, 1e-3, sc6P))
+        )
+        x_ms = marginal_kernel_ms(
+            lambda d: consume(linearize_vgicp_unary_xla(p_srcP, momTP, maskP, d, 3.0, 1e-3, sc6P))
+        )
+        record_perf("perf_unary_pallas_vs_xla", k_ms, x_ms)
 
     # ---- 2) kitti_07 pair convergence on the chip ------------------------
     data = os.environ.get("GTSAM_POINTS_DATA", "/root/reference/data")
@@ -278,7 +355,7 @@ def main():
         q_mask = frames[1].mask
 
         def pipeline_kernel(d):
-            return vgicp_scan_linearize(vm, q_p, q_mask, d, 1.0).error
+            return consume(vgicp_scan_linearize(vm, q_p, q_mask, d, 1.0))
 
         def pipeline_xla(d):
             pm = planar.transform(d, q_p)
@@ -286,17 +363,61 @@ def main():
             from gtsam_points_tpu.ops.voxelmap import lookup_rows
             row, found = lookup_rows(vm, keys)
             momT_q = vm.moments[row].T[:10]
-            return linearize_vgicp_moments_xla(q_p, momT_q, found & q_mask, d, 1.0).error
+            return consume(linearize_vgicp_moments_xla(q_p, momT_q, found & q_mask, d, 1.0))
 
         k_ms = marginal_kernel_ms(pipeline_kernel, L1=20, L2=220)
         x_ms = marginal_kernel_ms(pipeline_xla, L1=20, L2=220)
-        record(
-            "perf_vgicp_scan_pipeline_kernel_vs_xla",
-            k_ms <= 1.5 * x_ms,
-            pipeline_kernel_ms=round(k_ms, 4),
-            pipeline_xla_ms=round(x_ms, 4),
-            speedup=round(x_ms / max(k_ms, 1e-9), 2),
+        record_perf("perf_vgicp_scan_pipeline_kernel_vs_xla", k_ms, x_ms, sanity=1.5)
+
+        # batched regime: one vmapped B=64 pyramid GN iteration (probe +
+        # unary linearize + solve) — the production batched hot path.
+        from gtsam_points_tpu.ops.pallas_linearize import probe_moments
+
+        c1 = frames[1].covs
+        covs6_1 = jnp.stack(
+            [c1[:, 0, 0], c1[:, 0, 1], c1[:, 0, 2], c1[:, 1, 1], c1[:, 1, 2], c1[:, 2, 2]]
         )
+        Bp = 64
+        ds = jnp.broadcast_to(delta_gt, (Bp, 4, 4))
+
+        def pyramid_iter(Ts):
+            def one(T):
+                momT_q, found = probe_moments(vm, q_p, q_mask, T)
+                lin = linearize_vgicp_unary_xla(
+                    q_p, momT_q, found, T, 1.0, src_covs6=covs6_1
+                )
+                return T.at[:3, 3].add(1e-12 * (lin.b_s[:3] + jnp.sum(lin.H_ss)))
+
+            return jax.vmap(one)(Ts)
+
+        loop64 = {
+            L: jax.jit(
+                lambda Ts, L=L: jax.lax.fori_loop(0, L, lambda i, T: pyramid_iter(T), Ts)
+            )
+            for L in (4, 24)
+        }
+        for loop in loop64.values():
+            jax.block_until_ready(loop(ds))
+        marg_s, _ = chain_marginal(lambda L: jax.block_until_ready(loop64[L](ds)), 4, 24, trials=3)
+        b_ms = marg_s * 1000.0
+        base = PERF_BASELINES_MS.get("perf_batched_pyramid_iteration")
+        record(
+            "perf_batched_pyramid_iteration",
+            base is None or b_ms <= REGRESSION_GRACE * base,
+            batched_iteration_ms=round(b_ms, 3),
+            batch=Bp,
+            recorded_baseline_ms=base,
+            regression_gate=f"<= {REGRESSION_GRACE}x recorded" if base is not None else "first round",
+        )
+
+        report["dispatch"] = {
+            "single_scan_linearize": "moments_fused Pallas kernel behind "
+            "vgicp_scan_linearize (table_probe sum-select; latency-bound regime)",
+            "batched_registration": "linearize_vgicp_unary_xla + probe_moments "
+            "matmul slot-select inside registration/pyramid.py (throughput regime: "
+            "the batch axis keeps the VPU dense; vmapped Pallas measured 3.98 ms vs "
+            "3.31 ms per B=64 iteration, round 4)",
+        }
 
     report["all_ok"] = ok_all
     out_path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "TPU_PARITY.json")
