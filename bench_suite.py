@@ -112,7 +112,12 @@ def main():
                       "unit": "frames/s", "vs_baseline": round(ref_reg_ms / ms, 2),
                       "trans_err_vs_gt_m": round(float(trans_e), 4)}), flush=True)
 
-    # --- odometry step (register + map insert) ---
+    # --- odometry step (register + map insert) + phase breakdown ---
+    from gtsam_points_tpu.pipelines.odometry import make_odometry_stepper
+    from gtsam_points_tpu.ops.voxelmap import insert_frame_incremental
+    from gtsam_points_tpu.types.frame import transform_frame
+    from gtsam_points_tpu.factors.vgicp import VGICPFactor
+
     params = OdometryParams(
         voxel_resolution=1.0, map_capacity=131072, min_voxel_points=4.0,
         max_iterations=10, keyframe_trans=1e-9, keyframe_rot=1e-9,  # insert every frame
@@ -121,17 +126,63 @@ def main():
     # realistic per-scan work: start from a noised prediction every step so LM
     # does real iterations, and insert into the map every frame
     noise = se3.se3_exp(jnp.asarray([0.02, -0.02, 0.03, 0.1, -0.08, 0.05]))
+    stepper = make_odometry_stepper(params)  # donated streaming state (r4)
     state, T, diag = odometry_step(state, source, params, noise)
     jax.block_until_ready(T)
-    # steady-state throughput: chained steps, no host syncs (the step is one
-    # jitted program), so consecutive scans pipeline like a real stream
+
+    def fresh_state():
+        return jax.tree_util.tree_map(
+            lambda x: x + 0 if hasattr(x, "dtype") else x, state
+        )
+
+    # steady-state throughput: chained DONATED steps — the state's ~30 MB of
+    # map buffers are reused in place (without donation each step allocates
+    # and copies them: measured 8.9 vs 0.15 ms/scan on v5e, round 4)
     def chain_odo(K):
-        st = state
+        st = fresh_state()
         for _ in range(K):
-            st, T, _ = odometry_step(st, source, params, noise)
+            st, T, _ = stepper(st, source, noise)
         jax.block_until_ready(T)
 
     emit("odometry_step_ms_per_scan", marginal_ms(chain_odo), "ms", baseline=30.0)
+
+    # phase breakdown (VERDICT r3 item 8): register-only and insert-only
+    # chained slopes with genuinely-changing inputs
+    lmp = LMParams(max_iterations=10, max_inner_iterations=5)
+
+    regj = jax.jit(
+        lambda vm, T0: optimize_lm(
+            FactorGraph(
+                [VGICPFactor(
+                    voxelmap=vm, source=source,
+                    fixed_target_pose=jnp.eye(4, dtype=jnp.float32),
+                    target_key=-1, source_key=0, min_voxel_points=4.0,
+                )],
+                num_poses=1,
+            ),
+            T0[None], lmp,
+        ).poses[0]
+    )
+    T_base = regj(state.vmap, state.T_world @ noise)
+
+    def chain_reg(K):
+        T = T_base
+        for _ in range(K):
+            T = regj(state.vmap, T @ noise)
+        jax.block_until_ready(T)
+
+    emit("odometry_register_ms_per_scan", marginal_ms(chain_reg), "ms")
+
+    wfb = jax.jit(transform_frame)(state.T_world, source)
+    insj = jax.jit(insert_frame_incremental, donate_argnums=(0,))
+
+    def chain_ins(K):
+        vm = jax.tree_util.tree_map(lambda x: x + 0, state.vmap)
+        for _ in range(K):
+            vm, _ov = insj(vm, wfb)
+        jax.block_until_ready(vm.moments)
+
+    emit("odometry_insert_ms_per_scan", marginal_ms(chain_ins), "ms")
 
     # --- config 4: FPFH + RANSAC/GNC global registration (no initial guess) ---
     from gtsam_points_tpu.registration import (
@@ -281,6 +332,37 @@ def main():
     emit("isam2_update_ms_steady_state", steady, "ms")
     print(json.dumps({"metric": "isam2_compiles_after_warmup", "value": isam.num_compiles,
                       "unit": "programs", "note": "flat across updates 7..39"}), flush=True)
+
+    # --- long-session steady-state: isam2 update at 200 poses (VERDICT r3
+    # item 3) — synthetic ring sequence (utils/synthetic.py), VGICP odometry
+    # factors, window 4; mean of the last 20 updates ---
+    from gtsam_points_tpu.utils.synthetic import ring_scans, ring_trajectory, ring_world
+    from gtsam_points_tpu.optim.isam2 import ISAM2Ext
+    from gtsam_points_tpu.factors import PriorFactor
+
+    world = ring_world()
+    T_true_r = ring_trajectory(200, 100)
+    scans_r = ring_scans(world, T_true_r, 2048)
+    frames_r = [make_frame(s, capacity=2048) for s in scans_r]
+    isam_r = ISAM2Ext(window_size=4, lm_params=LMParams(max_iterations=8))
+    isam_r.update(
+        [PriorFactor(prior=jnp.asarray(T_true_r[0]), weights=jnp.full((6,), 1e6), key=0)],
+        {0: jnp.asarray(T_true_r[0])},
+    )
+    upd_ms = []
+    for i in range(1, 200):
+        d_true = np.linalg.inv(T_true_r[i - 1]) @ T_true_r[i]
+        init_r = isam_r.calculate_estimate_pose(i - 1) @ d_true
+        t0 = time.perf_counter()
+        isam_r.update(
+            [make_vgicp_factor(i - 1, i, frames_r[i - 1], frames_r[i],
+                               voxel_resolution=0.25, min_voxel_points=1)],
+            {i: jnp.asarray(init_r)},
+        )
+        upd_ms.append((time.perf_counter() - t0) * 1000.0)
+    emit("isam2_update_ms_at_200_poses", float(np.mean(upd_ms[-20:])), "ms")
+    emit("isam2_update_ms_at_50_poses", float(np.mean(upd_ms[45:65])), "ms")
+
 
     # accuracy vs bundled GT (gauge-aligned at pose 0)
     T0 = np.asarray(out[0])

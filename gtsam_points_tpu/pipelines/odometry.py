@@ -177,6 +177,32 @@ def odometry_step(state: OdometryState, frame: Frame, params: OdometryParams, T_
     return new_state, T_new, diag
 
 
+def make_odometry_stepper(params: OdometryParams, donate: bool = True):
+    """Build the jitted STREAMING step: fn(state, frame, T_pred_delta=None)
+    -> (new_state, T_world, diag).
+
+    donate=True (default) donates the input state's buffers to the output —
+    the map state is ~30 MB at 131k capacity, and WITHOUT donation every
+    chained step allocates and copies it (measured 8.9 ms/scan on v5e via
+    the tunnel; 0.147 ms/scan donated — a 60x difference that dwarfs the
+    actual register+insert compute). The caller must treat the passed-in
+    state as CONSUMED: keep only the returned state. Use donate=False when
+    snapshotting states (e.g. for branching or rollback).
+
+    The reference's analogue is mutating the voxel map in place
+    (ann/impl/incremental_voxelmap_impl.hpp insert); donation is how a pure-
+    functional update gets the same zero-copy behavior under XLA."""
+    kwargs = {"static_argnums": (2,)}
+    if donate:
+        kwargs["donate_argnums"] = (0,)
+    stepped = jax.jit(odometry_step, **kwargs)
+
+    def step(state: OdometryState, frame: Frame, T_pred_delta=None):
+        return stepped(state, frame, params, T_pred_delta)
+
+    return step
+
+
 class FrameToFrameState(NamedTuple):
     prev: Frame
     prev_grid_points: jax.Array  # kept inside the factor's grid; stored via factor rebuild

@@ -43,6 +43,12 @@ class RANSACParams:
     # (registration/impl/ransac_impl.hpp:120-185). Hash probes drop ~8x.
     coarse_overlap_samples: int = 128
     rescore_top: int = 128
+    # taboo list: known-bad poses to exclude (reference ransac.hpp:26-28,
+    # impl/ransac_impl.hpp:149-155): a hypothesis within BOTH thresholds of
+    # any taboo pose is rejected before scoring. Set via the `taboo` arg of
+    # estimate_pose_ransac (an [M,4,4] array — vmapped proximity mask).
+    taboo_thresh_rot: float = 0.5 * 3.14159265 / 180.0
+    taboo_thresh_trans: float = 0.25
 
 
 class RegistrationResult(NamedTuple):
@@ -67,7 +73,12 @@ def estimate_pose_ransac(
     source_features: jax.Array,
     params: Optional[RANSACParams] = None,
     key: Optional[jax.Array] = None,
+    taboo: Optional[jax.Array] = None,
 ) -> RegistrationResult:
+    """`taboo` [M, 4, 4]: previously-found bad poses; hypotheses within
+    params.taboo_thresh_rot AND taboo_thresh_trans of any of them are
+    excluded (reference: re-running RANSAC after a failed verification
+    without re-finding the same wrong pose, ransac_impl.hpp:149-155)."""
     params = params or RANSACParams()
     if key is None:
         key = jax.random.PRNGKey(params.seed)
@@ -111,6 +122,18 @@ def estimate_pose_ransac(
 
     align = align_points_se3 if params.dof == 6 else align_points_4dof
     T_h = align(s_pts, t_pts)  # [H, 4, 4]
+
+    if taboo is not None and taboo.shape[0] > 0:
+        def near_any(T):
+            def near_one(Tt):
+                rot_e, trans_e = se3.pose_error(T, Tt)
+                return (rot_e < params.taboo_thresh_rot) & (
+                    trans_e < params.taboo_thresh_trans
+                )
+
+            return jnp.any(jax.vmap(near_one)(taboo))
+
+        h_valid = h_valid & ~jax.vmap(near_any)(T_h)
 
     # stage 1: coarse score of ALL hypotheses on a small sample
     nc = min(params.coarse_overlap_samples, params.num_overlap_samples)

@@ -168,3 +168,27 @@ def test_pyramid_registration_converges_wide_basin(kitti_pair):
     re, te = jax.vmap(lambda T: se3.pose_error(T, jnp.eye(4)))(Ts)
     assert float(jnp.max(re)) < 0.015, f"rot {float(jnp.max(re))}"
     assert float(jnp.max(te)) < 0.15, f"trans {float(jnp.max(te))}"
+
+
+def test_ransac_taboo_list_excludes_known_pose(kitti_pair):
+    """Reference parity (ransac.hpp:26-28, impl/ransac_impl.hpp:149-155): a
+    pose on the taboo list — here the CORRECT registration itself — must not
+    be returned again; the run yields some other (necessarily worse or
+    differently-placed) hypothesis rather than the tabooed one."""
+    from gtsam_points_tpu.utils import se3
+
+    target, source, f_t, f_s, T_true = kitti_pair
+    params = RANSACParams(max_iterations=8192)
+
+    res = jax.jit(lambda: estimate_pose_ransac(target, source, f_t, f_s, params))()
+    check_pose(res.T_target_source, T_true)  # it does find the pose
+
+    res_t = jax.jit(
+        lambda T: estimate_pose_ransac(target, source, f_t, f_s, params, taboo=T[None])
+    )(res.T_target_source)
+    rot_t, trans_t = se3.pose_error(res_t.T_target_source, res.T_target_source)
+    # the returned pose is NOT within the taboo ball of the excluded one
+    assert (
+        float(rot_t) >= params.taboo_thresh_rot
+        or float(trans_t) >= params.taboo_thresh_trans
+    )
