@@ -31,7 +31,7 @@ Measurements:
    vs_baseline is reported as 0.0: fast-but-wrong cannot score.
 2. vgicp_linearize_ms_per_scan — one fused scan-to-map linearization
    (voxel lookup + fused covs + GICP residuals + Jacobians + block
-   reduction). FIVE candidate implementations are raced for a few
+   reduction). SIX candidate implementations are raced for a few
    iterations each and the fastest becomes the headline (VERDICT r2 item 2:
    the round-2 regression shipped because the bench trusted one kernel);
    all per-path timings are in the JSON so a regression is visible and
@@ -243,7 +243,8 @@ def main():
         return marg_s * 1000.0, raw_s * 1000.0
 
     from gtsam_points_tpu.ops.pallas_linearize import (
-        linearize_vgicp_unary, linearize_vgicp_unary_xla, probe_moments)
+        linearize_vgicp_unary, linearize_vgicp_unary_dense,
+        linearize_vgicp_unary_xla, probe_moments)
 
     def lin_unary_pallas(T):
         momT, found = probe_moments(vmap, pts_p, mask, T)
@@ -253,12 +254,17 @@ def main():
         momT, found = probe_moments(vmap, pts_p, mask, T)
         return linearize_vgicp_unary_xla(pts_p, momT, found, T, 1.0, src_covs6=covs6)
 
+    def lin_unary_dense(T):
+        momT, found = probe_moments(vmap, pts_p, mask, T)
+        return linearize_vgicp_unary_dense(pts_p, momT, found, T, 1.0, src_covs6=covs6)
+
     paths = {
         "moments_fused": lin_moments,
         "planar_fused": lin_planar_fused,
         "planar_xla": lin_planar_xla,
         "unary_pallas": lin_unary_pallas,
         "unary_xla": lin_unary_xla,
+        "unary_dense": lin_unary_dense,
     }
     path_ms = {}
     path_raw_ms = {}

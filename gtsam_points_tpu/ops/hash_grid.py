@@ -151,12 +151,22 @@ def build_hash_grid(
         # a coarse cell covers coarse_factor^3 fine cells, so the per-cell
         # candidate budget must scale with the factor or dense clouds lose
         # most in-radius neighbors to silent truncation (round-3 review
-        # finding); bounded at 256 to keep the gather tiles reasonable
+        # finding); bounded at 256 to keep the gather tiles reasonable.
+        # RECALL BOUND (advisor finding, r3): when a coarse cell holds more
+        # points than that budget, the overflow is silently dropped from
+        # coarse-level candidates — radius queries whose answer set spans a
+        # dense region may return fewer than the true in-radius count
+        # (bounded-budget semantics shared with the reference's KnnResult
+        # max_nn cap, ann/knn_result.hpp:10-146). The coarse CELL capacity
+        # shrinks by ~factor^3 (it has that many fewer occupied cells),
+        # which keeps cell_records ~the fine level's size instead of
+        # factor^3 larger (~100 MB at 25k points, factor 5).
+        coarse_cells = max(512, cap // max(coarse_factor**3 // 2, 1))
         coarse = build_hash_grid(
             points,
             mask,
             leaf * coarse_factor,
-            cell_capacity=cap,
+            cell_capacity=coarse_cells,
             max_points_per_cell=min(J * coarse_factor, 256),
         )
 
@@ -363,16 +373,30 @@ def radius_search(
     grid without `coarse_factor` when all radii are <= leaf.
 
     Returns (indices [Q, M], sq_dists [Q, M], valid [Q, M], num_found [Q]).
+    RECALL CONTRACT: results are exact nearest-first up to the per-cell
+    candidate budgets of each level (fine: max_points_per_cell; coarse:
+    min(J * coarse_factor, 256) per coarse cell) — in regions denser than
+    the budget, far-tail in-radius neighbors may be omitted and num_found
+    under-counts accordingly.
     """
     r = jnp.asarray(radius, jnp.float32)
-    idx, sq, valid = knn_search(
-        grid,
-        queries,
-        query_mask,
-        max_neighbors,
-        num_neighbor_cells=num_neighbor_cells,
-        max_sq_dist=r * r,
-    )
+    if grid.coarse is None:
+        idx, sq, valid = knn_search(
+            grid,
+            queries,
+            query_mask,
+            max_neighbors,
+            num_neighbor_cells=num_neighbor_cells,
+            max_sq_dist=r * r,
+        )
+    else:
+        # fine pass WITHOUT knn_search's internal coarse fallback — the
+        # unconditional coarse merge below covers it, so the fallback would
+        # probe the coarse level twice for no-fine-candidate queries
+        # (advisor finding, r3)
+        idx, sq, valid = _knn_one_level(
+            grid, queries, query_mask, max_neighbors, num_neighbor_cells, r * r
+        )
     if grid.coarse is not None:
         cidx, csq, cvalid = _knn_one_level(
             grid.coarse, queries, query_mask, max_neighbors, 27, r * r

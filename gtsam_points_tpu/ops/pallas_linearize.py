@@ -690,18 +690,18 @@ def _vgicp_unary_kernel_batched(
         out_ref[0] = acc_ref[:]
 
 
-def _unary_tile_body(d_get, s_ref, p_full, mom, m_row, sc, acc_ref, pid, n, tile):
-    """Shared per-tile math of the unary kernels (see the factored-congruence
-    derivation in the section comment). d_get(k) reads SMEM delta scalar k; p_full [3,T];
-    mom [10,T]; m_row [1,T]; sc [6,T] or None; accumulates [32,1] sums into
-    acc_ref[:, 0:1]."""
+def _unary_quantities(d_get, s_ref, p_masked, mom, m, sc):
+    """Shared math of the unary kernels on arbitrarily-shaped row blocks
+    (planar [1,T] rows or dense [8,C] rows — everything is elementwise).
+    d_get(k) reads SMEM delta scalar k. `m` must already be tail-masked.
+    Returns the 29 per-point quantity blocks in acc-column order:
+    h11(6), sA(9), A(6), b_pre(6), err(1), inlier(1)."""
     mvp = s_ref[0, 0]
     eps = s_ref[0, 1]
-    m = _mask_tile(m_row, pid, n, tile)
     cnt = mom[0:1]
     m = jnp.where(cnt >= mvp, m, 0.0)
     ok = m > 0.0
-    p = jnp.where(ok, p_full, 0.0)
+    p = jnp.where(ok, p_masked, 0.0)
     safe = jnp.maximum(cnt, 1.0)
     mu = jnp.where(ok, mom[1:4] / safe, 0.0)
     mu0, mu1, mu2 = mu[0:1], mu[1:2], mu[2:3]
@@ -761,20 +761,23 @@ def _unary_tile_body(d_get, s_ref, p_full, mom, m_row, sc, acc_ref, pid, n, tile
     h11 = [[smul(j, sA[i]) for j in range(3)] for i in range(3)]
     bt = [p1 * u[2] - p2 * u[1], p2 * u[0] - p0 * u[2], p0 * u[1] - p1 * u[0]]
 
-    stack = jnp.concatenate(
-        [
-            h11[0][0], h11[0][1], h11[0][2], h11[1][1], h11[1][2], h11[2][2],
-            sA[0][0], sA[0][1], sA[0][2],
-            sA[1][0], sA[1][1], sA[1][2],
-            sA[2][0], sA[2][1], sA[2][2],
-            axx, axy, axz, ayy, ayz, azz,
-            bt[0], bt[1], bt[2], u[0], u[1], u[2],
-            err,
-            m,
-            jnp.zeros((3, tile), jnp.float32),
-        ],
-        axis=0,
-    )
+    return [
+        h11[0][0], h11[0][1], h11[0][2], h11[1][1], h11[1][2], h11[2][2],
+        sA[0][0], sA[0][1], sA[0][2],
+        sA[1][0], sA[1][1], sA[1][2],
+        sA[2][0], sA[2][1], sA[2][2],
+        axx, axy, axz, ayy, ayz, azz,
+        bt[0], bt[1], bt[2], u[0], u[1], u[2],
+        err, m,
+    ]
+
+
+def _unary_tile_body(d_get, s_ref, p_full, mom, m_row, sc, acc_ref, pid, n, tile):
+    """Planar reducer around _unary_quantities: [1,T] rows, tail-masked by
+    iota, accumulated as a [32,1] column."""
+    m = _mask_tile(m_row, pid, n, tile)
+    qs = _unary_quantities(d_get, s_ref, p_full, mom, m, sc)
+    stack = jnp.concatenate(qs + [jnp.zeros((3, tile), jnp.float32)], axis=0)  # [32, T]
     acc_ref[:, 0:1] += jnp.sum(stack, axis=1, keepdims=True)
 
 
@@ -846,6 +849,112 @@ def linearize_vgicp_unary_batch(
         src_covs6 is not None,
     )
     return jax.vmap(_unpack_unary)(out[:, :, 0])
+
+
+def _vgicp_unary_dense_kernel(
+    d_ref, s_ref, p_ref, mom_ref, m_ref, sc_ref_or_out, *rest, with_src_covs: bool
+):
+    """8-DENSE unary kernel: inputs arrive as [k, 8, C] blocks (the free
+    row-major view of planar [k, N] with N = 8 * N8), so every elementwise
+    op fills all 8 VPU sublanes instead of 1/8 — the planar [1,T] kernels
+    waste 7/8 of the vector unit on row broadcasts. Zero-padded tails need
+    no iota masking (zero count -> masked out by the mvp gate)."""
+    from jax.experimental import pallas as pl
+
+    if with_src_covs:
+        sc_ref, out_ref, acc_ref = sc_ref_or_out, rest[0], rest[1]
+    else:
+        sc_ref, out_ref, acc_ref = None, sc_ref_or_out, rest[0]
+
+    pid = pl.program_id(0)
+
+    @pl.when(pid == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    qs = _unary_quantities(
+        lambda k: d_ref[0, k],
+        s_ref,
+        p_ref[:],
+        mom_ref[:],
+        m_ref[:],
+        None if sc_ref is None else sc_ref[:],
+    )  # 29 blocks of [1, 8, C]
+    cols = [jnp.sum(q[0], axis=-1, keepdims=True) for q in qs]  # [8, 1] each
+    block = jnp.concatenate(cols, axis=1)  # [8, 29]
+    acc_ref[:] += jnp.pad(block, ((0, 0), (0, 128 - block.shape[1])))
+
+    @pl.when(pid == pl.num_programs(0) - 1)
+    def _():
+        out_ref[:] = acc_ref[:]
+
+
+_DENSE_TILE_C = 512  # 4096 points per grid step ([k,8,512] blocks, ~320 KB VMEM)
+
+
+@functools.partial(jax.jit, static_argnames=("with_src_covs",))
+def _vgicp_unary_dense_call(delta_row, scalars, p_src, momT, mask_f, sc6, with_src_covs):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n = p_src.shape[-1]
+    tile_c = _DENSE_TILE_C
+    n_pad = -(-n // (8 * tile_c)) * (8 * tile_c)
+    n8 = n_pad // 8
+    grid = n8 // tile_c
+
+    def dense(x, k):
+        return _pad_lanes(x, n_pad).reshape(k, 8, n8)
+
+    in_specs = [
+        pl.BlockSpec((1, 16), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((3, 8, tile_c), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((10, 8, tile_c), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 8, tile_c), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+    ]
+    args = [
+        delta_row,
+        scalars,
+        dense(p_src, 3),
+        dense(momT, 10),
+        dense(mask_f[None, :], 1),
+    ]
+    if with_src_covs:
+        in_specs.append(pl.BlockSpec((6, 8, tile_c), lambda i: (0, 0, i), memory_space=pltpu.VMEM))
+        args.append(dense(sc6, 6))
+
+    return pl.pallas_call(
+        functools.partial(_vgicp_unary_dense_kernel, with_src_covs=with_src_covs),
+        grid=(grid,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((8, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((8, 128), jnp.float32)],
+    )(*args)
+
+
+def linearize_vgicp_unary_dense(
+    p_src, momT, found, delta, min_voxel_points, eps=1e-3, src_covs6=None
+) -> Linearized:
+    """Unary VGICP linearize via the 8-dense kernel (see
+    _vgicp_unary_dense_kernel). Same contract as linearize_vgicp_unary;
+    falls back to the XLA path off-TPU."""
+    if not _on_tpu():
+        return linearize_vgicp_unary_xla(
+            p_src, momT, found, delta, min_voxel_points, eps, src_covs6
+        )
+    scalars = jnp.stack([jnp.float32(min_voxel_points), jnp.float32(eps)]).reshape(1, 2)
+    out = _vgicp_unary_dense_call(
+        delta.reshape(1, 16),
+        scalars,
+        p_src,
+        momT,
+        found.astype(jnp.float32),
+        src_covs6,
+        src_covs6 is not None,
+    )
+    return _unpack_unary(jnp.sum(out, axis=0)[:32])
 
 
 def linearize_vgicp_unary_xla(

@@ -33,6 +33,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from gtsam_points_tpu.factors.base import remap_keys
+from gtsam_points_tpu.utils import se3
 from gtsam_points_tpu.optim.graph import FactorGraph
 from gtsam_points_tpu.optim.incremental import (
     MarginalPriorFactor,
@@ -436,12 +437,13 @@ class ISAM2Ext:
         new_poses = np.asarray(res.poses)
         if not np.all(np.isfinite(new_poses)):
             return  # keep previous estimates (indeterminant relax guard)
+        pre_estimates = {k: self.estimates[k].copy() for k in keys}
         for k in keys:
             self.estimates[k] = new_poses[idx[k]]
         for k in self.frozen:
             self.frozen[k] = self.estimates[k]
         self.factors = [
-            self._reanchor(f) if isinstance(f, MarginalPriorFactor) else f
+            self._reanchor(f, pre_estimates) if isinstance(f, MarginalPriorFactor) else f
             for f in self.factors
         ]
         # refresh previously-baked loop factors to the RELAXED frozen target
@@ -460,10 +462,32 @@ class ISAM2Ext:
             # not found -> the factor was absorbed by marginalization; drop it
         self._baked_loops = still_baked
 
-    def _reanchor(self, f: MarginalPriorFactor) -> MarginalPriorFactor:
-        lin = jnp.asarray(np.stack([self.estimates[k] for k in f.pose_keys]))
+    def _reanchor(self, f: MarginalPriorFactor, pre_estimates) -> MarginalPriorFactor:
+        """Re-anchor a marginal prior at the RELAXED estimates, transporting
+        its pending offset instead of discarding it (advisor finding, r3).
+
+        The prior's implied optimum in the old frame is
+        T*_k = lin_k · Exp(delta*_k); a gauge-consistent relax applies a
+        left correction C_k to every pose, moving the optimum to C_k · T*_k.
+        With the new linearization point T'_k = C_k · T_pre_k, the new
+        offset is delta*'_k = Log(T'⁻¹ C T*) = Log(T_pre_k⁻¹ lin_k
+        Exp(delta*_k)) — the prior's unconverged residual at the PRE-relax
+        estimate, independent of C (first-order transport; exact when the
+        window had converged onto the prior, where it reduces to zero as
+        before)."""
+        K = len(f.pose_keys)
+        lin_new = np.stack([self.estimates[k] for k in f.pose_keys])
+        old_lin = np.asarray(f.lin_poses)
+        dstar = np.asarray(f.delta_star).reshape(K, 6)
+        dnew = np.zeros_like(dstar)
+        for i, k in enumerate(f.pose_keys):
+            T_opt = old_lin[i] @ np.asarray(se3.se3_exp(jnp.asarray(dstar[i])))
+            pre = pre_estimates.get(k, self.estimates[k])
+            dnew[i] = np.asarray(se3.se3_log(jnp.asarray(np.linalg.inv(pre) @ T_opt)))
         return dataclasses.replace(
-            f, lin_poses=lin, delta_star=jnp.zeros_like(f.delta_star)
+            f,
+            lin_poses=jnp.asarray(lin_new),
+            delta_star=jnp.asarray(dnew.reshape(-1)),
         )
 
     def _marginalize(self, marg_keys: List[int]):

@@ -292,6 +292,23 @@ def main():
             error_rel=rel(lu_k.error, lu_x.error),
         )
 
+    from gtsam_points_tpu.ops.pallas_linearize import linearize_vgicp_unary_dense
+
+    lu_d = jax.jit(
+        lambda *a: linearize_vgicp_unary_dense(a[0], a[1], a[2], a[3], 3.0, 1e-3, sc6)
+    )(p_src, momT, mask, delta)
+    lu_xr = jax.jit(
+        lambda *a: linearize_vgicp_unary_xla(a[0], a[1], a[2], a[3], 3.0, 1e-3, sc6)
+    )(p_src, momT, mask, delta)
+    record(
+        "pallas_unary_dense_vs_xla_on_device",
+        max(rel(lu_d.H_ss, lu_xr.H_ss), rel(lu_d.b_s, lu_xr.b_s), rel(lu_d.error, lu_xr.error))
+        < 2e-3,
+        H_ss_rel=rel(lu_d.H_ss, lu_xr.H_ss),
+        b_s_rel=rel(lu_d.b_s, lu_xr.b_s),
+        error_rel=rel(lu_d.error, lu_xr.error),
+    )
+
     if platform in ("tpu", "axon"):
         k_ms = marginal_kernel_ms(
             lambda d: consume(linearize_vgicp_unary(p_srcP, momTP, maskP, d, 3.0, 1e-3, sc6P))
@@ -300,6 +317,10 @@ def main():
             lambda d: consume(linearize_vgicp_unary_xla(p_srcP, momTP, maskP, d, 3.0, 1e-3, sc6P))
         )
         record_perf("perf_unary_pallas_vs_xla", k_ms, x_ms)
+        d_ms = marginal_kernel_ms(
+            lambda d: consume(linearize_vgicp_unary_dense(p_srcP, momTP, maskP, d, 3.0, 1e-3, sc6P))
+        )
+        record_perf("perf_unary_dense_vs_xla", d_ms, x_ms)
 
     # ---- 2) kitti_07 pair convergence on the chip ------------------------
     data = os.environ.get("GTSAM_POINTS_DATA", "/root/reference/data")

@@ -346,3 +346,38 @@ def test_diagonal_edge_info_mode_still_converges():
     moved = max(float(np.linalg.norm(isam.frozen[k][:3, 3] - frozen_before[k][:3, 3]))
                 for k in frozen_before)
     assert moved > 1e-3
+
+
+def test_reanchor_transports_pending_offset():
+    """Advisor finding r3: a relax must not discard a MarginalPriorFactor's
+    unconverged delta_star. The transported prior's implied optimum
+    (lin' · Exp(delta*')) must coincide with the relax-corrected old optimum,
+    and in particular must NOT equal the new linearization point when the
+    old offset was nonzero."""
+    from gtsam_points_tpu.optim.incremental import MarginalPriorFactor
+
+    isam = ISAM2Ext(window_size=3)
+    rng = np.random.RandomState(0)
+    lin = np.asarray(se3.se3_exp(jnp.asarray(rng.randn(6).astype(np.float32) * 0.1)))
+    dstar = rng.randn(6).astype(np.float32) * 0.05
+    f = MarginalPriorFactor(
+        lin_poses=jnp.asarray(lin[None]),
+        sqrt_info_t=jnp.eye(6) * 10.0,
+        delta_star=jnp.asarray(dstar),
+        pose_keys=(7,),
+    )
+    # pre-relax estimate: NOT converged onto the prior
+    T_pre = lin @ np.asarray(se3.se3_exp(jnp.asarray(dstar * 0.3)))
+    # relax applies a left correction C
+    C = np.asarray(se3.se3_exp(jnp.asarray([0.0, 0.0, 0.05, 0.4, -0.2, 0.1], jnp.float32)))
+    T_post = C @ T_pre
+    isam.estimates[7] = T_post.astype(np.float32)
+
+    f2 = isam._reanchor(f, {7: T_pre.astype(np.float32)})
+    opt_old = lin @ np.asarray(se3.se3_exp(jnp.asarray(dstar)))
+    opt_new = np.asarray(f2.lin_poses[0]) @ np.asarray(
+        se3.se3_exp(jnp.asarray(np.asarray(f2.delta_star, np.float32)))
+    )
+    np.testing.assert_allclose(opt_new, C @ opt_old, atol=1e-5)
+    # the pending offset survives (old behavior zeroed it)
+    assert float(np.linalg.norm(np.asarray(f2.delta_star))) > 1e-3
