@@ -9,10 +9,12 @@ Run: python examples/kitti07_slam.py [--platform cpu]
 """
 
 import argparse
+import os
 import sys
 import time
 
-sys.path.insert(0, ".")
+# repo root, independent of the caller's cwd (the example CI runs from examples/)
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
 
 def main():

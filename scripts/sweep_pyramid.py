@@ -34,13 +34,20 @@ target = prep(make_frame(pts0, capacity=cap))
 source = prep(make_frame(pts1, capacity=cap))
 B = 64
 
+# Round-4 final candidates. Findings encoded here (full grids in the git
+# history of scripts/sweep_pyramid*.py): stage-frozen correspondence CACHING
+# is rejected (worst lane 0.8 m vs 0.008 m — GN converges to the frozen
+# objective's offset optimum), source STRIDING is free at coarse/mid stages,
+# and the stride ladder 8 -> 4 -> 2 -> 1 (DEFAULT_STAGES) holds 0.019 m
+# worst-lane over 24 seeds at ~2.3x the throughput of the full-resolution
+# QUALITY_STAGES (0.008 m).
+from gtsam_points_tpu.registration.pyramid import DEFAULT_STAGES, QUALITY_STAGES
+
 SCHEDULES = {
-    "r3_nocache_2_1_4": [PyramidStage(4.0, 2, 1, 2), PyramidStage(2.0, 1, 1, 1), PyramidStage(1.0, 4, 1, 4)],
-    "cached_2_1_4r2": [PyramidStage(4.0, 2, 4), PyramidStage(2.0, 1, 2), PyramidStage(1.0, 4, 1, 2)],
-    "cached_2_1_4r1": [PyramidStage(4.0, 2, 4), PyramidStage(2.0, 1, 2), PyramidStage(1.0, 4, 1, 1)],
-    "cached_2_1_3r1": [PyramidStage(4.0, 2, 4), PyramidStage(2.0, 1, 2), PyramidStage(1.0, 3, 1, 1)],
-    "cached_2_2_4r2_s2fine": [PyramidStage(4.0, 2, 4), PyramidStage(2.0, 2, 2), PyramidStage(1.0, 4, 1, 2)],
-    "cached_3_0_4r2": [PyramidStage(4.0, 3, 4), PyramidStage(1.0, 4, 1, 2)],
+    "default_stride_ladder": list(DEFAULT_STAGES),
+    "quality": list(QUALITY_STAGES),
+    "r3_full_res_2_1_4": [PyramidStage(4.0, 2, 1, 2), PyramidStage(2.0, 1, 1, 1), PyramidStage(1.0, 4, 1, 4)],
+    "cached_for_reference": [PyramidStage(4.0, 2, 4, 1), PyramidStage(2.0, 1, 2, 1), PyramidStage(1.0, 4, 1, 1)],
 }
 
 for name, stages in SCHEDULES.items():
@@ -49,7 +56,7 @@ for name, stages in SCHEDULES.items():
     reg = jax.jit(jax.vmap(lambda T0: register_scan_pyramid(maps, source, T0, stages)))
 
     worst_rot, worst_trans = 0.0, 0.0
-    for seed in range(16):
+    for seed in range(24):
         rng = np.random.RandomState(seed)
         xis = jnp.asarray(rng.uniform(-0.1, 0.1, (B, 6)).astype(np.float32))
         T0s = jax.vmap(lambda xi: T_rel @ se3.se3_exp(xi))(xis)
