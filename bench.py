@@ -169,18 +169,24 @@ def main():
     max_trans = float(jnp.max(trans_e))
     converged = bool(max_rot < ROT_TOL and max_trans < TRANS_TOL)
 
+    _salt = [0]
+
     def reg_chain(K):
-        """K back-to-back batched registrations, one final sync. Each element
-        re-registers from the ORIGINAL perturbed inits (nudged by a 1e-12
-        function of the previous output, so the chain is sequential and
-        nothing can be elided) — chaining converged poses directly would
-        measure re-registration of already-converged poses, not the real
-        from-init workload."""
+        """K back-to-back batched registrations, one final FULL fetch. Each
+        element re-registers from the ORIGINAL perturbed inits plus a
+        VALUE-SIGNIFICANT salt (1e-4 m translation — far below the 0.019 m
+        accuracy scale but well above f32 rounding, unique per element and
+        per trial) plus a dependency on the previous output, so the chain is
+        sequential and no element is bitwise-repeatable — see the REPLAY
+        HAZARD note in utils/benchtime.py. Chaining converged poses directly
+        would measure re-registration of already-converged poses, not the
+        real from-init workload."""
         cur = T0s
         for _ in range(K):
-            T_in = T0s.at[:, :3, 3].add(1e-12 * cur[:, :3, 3])
+            _salt[0] += 1
+            T_in = T0s.at[:, :3, 3].add(_salt[0] * 1e-4 + 1e-9 * cur[:, :3, 3])
             cur = batched_register(T_in)
-        jax.block_until_ready(cur)
+        float(jnp.sum(cur))
 
     marginal_s, raw_s = chain_marginal(reg_chain, 2, 6, trials=3)
     frames_per_s = B / marginal_s
@@ -193,9 +199,10 @@ def main():
     def reg_chain_q(K):
         cur = T0s
         for _ in range(K):
-            T_in = T0s.at[:, :3, 3].add(1e-12 * cur[:, :3, 3])
+            _salt[0] += 1
+            T_in = T0s.at[:, :3, 3].add(_salt[0] * 1e-4 + 1e-9 * cur[:, :3, 3])
             cur = batched_register_q(T_in)
-        jax.block_until_ready(cur)
+        float(jnp.sum(cur))
 
     marginal_q, _ = chain_marginal(reg_chain_q, 2, 6, trials=3)
     quality_frames_per_s = B / marginal_q
@@ -236,8 +243,12 @@ def main():
         for loop in loops.values():  # compile + warm
             jax.block_until_ready(loop(T_rel))
 
+        salt = [0]
+
         def run(L):
-            jax.block_until_ready(loops[L](T_rel))
+            # unique input per trial (replay hazard, utils/benchtime.py)
+            salt[0] += 1
+            jax.block_until_ready(loops[L](T_rel.at[0, 3].add(salt[0] * 1e-6)))
 
         marg_s, raw_s = chain_marginal(run, L1, L2, trials=5)
         return marg_s * 1000.0, raw_s * 1000.0
@@ -307,10 +318,13 @@ def main():
         lambda h: vmap.table[h].sum(axis=-1).sum(axis=-1).astype(jnp.int32)
     )
 
+    gsalt = [0]
+
     def gather_chain(K):
-        h = h_idx
+        gsalt[0] += 1
+        h = (h_idx + gsalt[0]) % vmap.table.shape[0]  # unique per trial
         for _ in range(K):
-            h = (h_idx + (gather_one(h)[:, None] & 1)) % vmap.table.shape[0]
+            h = (h_idx + gsalt[0] + (gather_one(h)[:, None] & 1)) % vmap.table.shape[0]
         jax.block_until_ready(h)
 
     g_marg_s, _ = chain_marginal(gather_chain, 2, 8, trials=3)

@@ -96,7 +96,7 @@ def main():
             def body(i, carry):
                 poses, acc = carry
                 A, b, err = graph.linearize_full(poses)
-                poses = poses + 1e-12 * b.reshape(P, 6)[:, :1, None] * 0
+                poses = poses + 1e-9 * b.reshape(P, 6)[:, :1, None]
                 return (poses, acc + err + jnp.sum(A) * 1e-30)
 
             return jax.lax.fori_loop(0, reps, body, (poses, jnp.float32(0.0)))

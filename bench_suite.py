@@ -61,11 +61,19 @@ def main():
     source = preprocess(raw_s)
     jax.block_until_ready(source.points)
 
+    _salt = [0]
+
     def chain_pre(K, fn=preprocess):
+        # value-significant per-element salt + full fetch: see the REPLAY
+        # HAZARD note in utils/benchtime.py (a 0.0x nudge made every chain
+        # element bitwise-identical and relay-replayable)
         out = raw_s
         for _ in range(K):
-            out = fn(raw_s.replace(points=raw_s.points + 0.0 * out.points[0, 0]))
-        jax.block_until_ready(out.points)
+            _salt[0] += 1
+            out = fn(raw_s.replace(
+                points=raw_s.points + (_salt[0] * 1e-5 + 1e-6 * out.points[0, 0])
+            ))
+        float(jnp.sum(out.points))
 
     emit("preprocess_knn_ms_per_scan", marginal_ms(chain_pre), "ms")
 
@@ -102,8 +110,9 @@ def main():
     def chain_reg(K):
         p = T0_reg
         for _ in range(K):
-            p = T0_reg + 1e-12 * reg(p).poses
-        jax.block_until_ready(p)
+            _salt[0] += 1
+            p = T0_reg.at[:, :3, 3].add(_salt[0] * 1e-4 + 1e-6 * reg(p).poses[:, :3, 3])
+        float(jnp.sum(reg(p).poses))
 
     ref_reg_ms = 18.918  # REF_BASELINE.json ref_cpu_vgicp_registration_cov_ms, best thread
     ms = marginal_ms(chain_reg)
@@ -113,6 +122,11 @@ def main():
                       "trans_err_vs_gt_m": round(float(trans_e), 4)}), flush=True)
 
     # --- odometry step (register + map insert) + phase breakdown ---
+    # HONEST protocol (round 4): start every chain from a salted copy of a
+    # steady-state odometry state and END with a full-state fetch — the
+    # replay hazard (utils/benchtime.py) produced fictitious 0.06 ms/step
+    # readings for this section before; physics (an LM running its full 10
+    # iterations over 16k points per step) puts the true figure ~9 ms.
     from gtsam_points_tpu.pipelines.odometry import make_odometry_stepper
     from gtsam_points_tpu.ops.voxelmap import insert_frame_incremental
     from gtsam_points_tpu.types.frame import transform_frame
@@ -122,34 +136,29 @@ def main():
         voxel_resolution=1.0, map_capacity=131072, min_voxel_points=4.0,
         max_iterations=10, keyframe_trans=1e-9, keyframe_rot=1e-9,  # insert every frame
     )
-    state = init_odometry(target, params)
-    # realistic per-scan work: start from a noised prediction every step so LM
-    # does real iterations, and insert into the map every frame
     noise = se3.se3_exp(jnp.asarray([0.02, -0.02, 0.03, 0.1, -0.08, 0.05]))
-    stepper = make_odometry_stepper(params)  # donated streaming state (r4)
-    state, T, diag = odometry_step(state, source, params, noise)
-    jax.block_until_ready(T)
+    stepper = make_odometry_stepper(params)  # donated streaming state
+    st_w = init_odometry(target, params)
+    for _ in range(5):  # reach steady state; diag fetch forces execution
+        st_w, T_w, diag = stepper(st_w, source, noise)
+        int(diag["iterations"])
+    steady = jax.tree_util.tree_map(lambda x: x + 0, st_w)
 
     def fresh_state():
-        return jax.tree_util.tree_map(
-            lambda x: x + 0 if hasattr(x, "dtype") else x, state
-        )
+        _salt[0] += 1
+        s = jax.tree_util.tree_map(lambda x: x + 0, steady)
+        return s._replace(T_world=s.T_world.at[0, 3].add(_salt[0] * 1e-6))
 
-    # steady-state throughput: chained DONATED steps — the state's ~30 MB of
-    # map buffers are reused in place (without donation each step allocates
-    # and copies them: measured 8.9 vs 0.15 ms/scan on v5e, round 4)
     def chain_odo(K):
         st = fresh_state()
         for _ in range(K):
             st, T, _ = stepper(st, source, noise)
-        jax.block_until_ready(T)
+        float(jnp.sum(st.vmap.moments)) + float(jnp.sum(T))
 
     emit("odometry_step_ms_per_scan", marginal_ms(chain_odo), "ms", baseline=30.0)
 
-    # phase breakdown (VERDICT r3 item 8): register-only and insert-only
-    # chained slopes with genuinely-changing inputs
+    # phase breakdown (VERDICT r3 item 8), same salted-fetch protocol
     lmp = LMParams(max_iterations=10, max_inner_iterations=5)
-
     regj = jax.jit(
         lambda vm, T0: optimize_lm(
             FactorGraph(
@@ -163,24 +172,28 @@ def main():
             T0[None], lmp,
         ).poses[0]
     )
-    T_base = regj(state.vmap, state.T_world @ noise)
+    T_base = regj(steady.vmap, steady.T_world @ noise)
 
-    def chain_reg(K):
+    def chain_reg_odo(K):
         T = T_base
         for _ in range(K):
-            T = regj(state.vmap, T @ noise)
-        jax.block_until_ready(T)
+            _salt[0] += 1
+            T = regj(steady.vmap, (T @ noise).at[0, 3].add(_salt[0] * 1e-6))
+        float(jnp.sum(T))
 
-    emit("odometry_register_ms_per_scan", marginal_ms(chain_reg), "ms")
+    emit("odometry_register_ms_per_scan", marginal_ms(chain_reg_odo), "ms")
 
-    wfb = jax.jit(transform_frame)(state.T_world, source)
+    wfb = jax.jit(transform_frame)(steady.T_world, source)
     insj = jax.jit(insert_frame_incremental, donate_argnums=(0,))
 
     def chain_ins(K):
-        vm = jax.tree_util.tree_map(lambda x: x + 0, state.vmap)
+        _salt[0] += 1
+        vm = jax.tree_util.tree_map(lambda x: x + 0, steady.vmap)
+        wf_s = wfb.replace(points=wfb.points + _salt[0] * 1e-6)
         for _ in range(K):
-            vm, _ov = insj(vm, wfb)
-        jax.block_until_ready(vm.moments)
+            vm, _ov = insj(vm, wf_s)
+            wf_s = wf_s.replace(points=wf_s.points + 1e-7)
+        float(jnp.sum(vm.moments))
 
     emit("odometry_insert_ms_per_scan", marginal_ms(chain_ins), "ms")
 

@@ -181,17 +181,18 @@ def make_odometry_stepper(params: OdometryParams, donate: bool = True):
     """Build the jitted STREAMING step: fn(state, frame, T_pred_delta=None)
     -> (new_state, T_world, diag).
 
-    donate=True (default) donates the input state's buffers to the output —
-    the map state is ~30 MB at 131k capacity, and WITHOUT donation every
-    chained step allocates and copies it (measured 8.9 ms/scan on v5e via
-    the tunnel; 0.147 ms/scan donated — a 60x difference that dwarfs the
-    actual register+insert compute). The caller must treat the passed-in
-    state as CONSUMED: keep only the returned state. Use donate=False when
-    snapshotting states (e.g. for branching or rollback).
-
-    The reference's analogue is mutating the voxel map in place
-    (ann/impl/incremental_voxelmap_impl.hpp insert); donation is how a pure-
-    functional update gets the same zero-copy behavior under XLA."""
+    donate=True (default) donates the input state's buffers to the output,
+    letting XLA reuse the ~30 MB of map buffers in place instead of
+    allocating fresh ones every scan — the reference's analogue is mutating
+    the voxel map in place (ann/impl/incremental_voxelmap_impl.hpp insert);
+    donation is how a pure-functional update gets the same zero-copy
+    allocation behavior under XLA. On the honest salted-fetch protocol
+    (utils/benchtime.py REPLAY HAZARD note) the step's wall time is
+    dominated by the LM registration itself, so donation is an allocator-
+    hygiene property rather than a measured speedup on this image. The
+    caller must treat the passed-in state as CONSUMED: keep only the
+    returned state. Use donate=False when snapshotting states (e.g. for
+    branching or rollback)."""
     kwargs = {"static_argnums": (2,)}
     if donate:
         kwargs["donate_argnums"] = (0,)

@@ -12,6 +12,24 @@ back-to-back executions are timed with one final block each, and
 Centralized (round-3 review finding) so a protocol change — trial count,
 outlier policy, probe shape — lands everywhere at once instead of drifting
 across five hand-rolled copies.
+
+REPLAY HAZARD (round-4 finding): this image's tunnel can serve a repeated
+execution request from a relay-side cache when a dispatch's input VALUES
+(and, most reliably, donated buffer addresses) are identical to an earlier
+one — chained host-level dispatches then "run" ~100x faster than physics
+allows (an LM capped at 1 vs 10 iterations timed identically). Two rules
+make a chain un-replayable, and every bench chain in this repo follows
+them:
+1. SALT each chain element with a VALUE-SIGNIFICANT epsilon — one that
+   survives f32 rounding against the quantity it perturbs (a `+ 1e-12 * x`
+   nudge against O(1) values rounds away to bitwise-identical inputs) and
+   changes per element AND per trial (a module-level counter), while
+   staying semantically negligible.
+2. FETCH a reduction of the LARGEST outputs at chain end (float(jnp.sum(...)));
+   blocking on a small side output is not evidence the heavy buffers were
+   produced.
+On-device fori_loop chains inside ONE dispatch are not affected (the loop
+body executes inside the compiled program).
 """
 
 from __future__ import annotations

@@ -37,6 +37,7 @@ PERF_BASELINES_MS = {
     "perf_vgicp_scan_pipeline_kernel_vs_xla": 0.0777,
     "perf_unary_pallas_vs_xla": 0.0334,
     "perf_batched_pyramid_iteration": 6.38,
+    "perf_unary_dense_vs_xla": 0.0176,
 }
 REGRESSION_GRACE = 1.2
 
@@ -185,8 +186,13 @@ def main():
         for loop in loops.values():
             jax.block_until_ready(loop(delta))
 
+        salt = [0]
+
         def run(L):
-            jax.block_until_ready(loops[L](delta))
+            # unique input per trial — repeated identical dispatches are
+            # relay-replayable on this image (utils/benchtime.py)
+            salt[0] += 1
+            jax.block_until_ready(loops[L](delta.at[0, 3].add(salt[0] * 1e-6)))
 
         marg_s, _ = chain_marginal(run, L1, L2, trials=5)
         return marg_s * 1000.0

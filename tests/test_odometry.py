@@ -61,3 +61,43 @@ def test_kitti07_scan_to_map_odometry(data_root):
         rot_e, trans_e = se3.pose_error(jnp.asarray(T_ref), jnp.asarray(est[i]))
         assert float(rot_e) < 0.015, f"pose {i} rot {float(rot_e)}"
         assert float(trans_e) < 0.15, f"pose {i} trans {float(trans_e)}"
+
+
+def test_donated_stepper_matches_undonated(data_root):
+    """make_odometry_stepper(donate=True) must be numerically identical to
+    the undonated step — donation only changes buffer reuse. Chained 3 steps
+    (the streaming pattern the donated path exists for)."""
+    import jax
+
+    from gtsam_points_tpu.pipelines.odometry import (
+        OdometryParams, init_odometry, make_odometry_stepper, odometry_step)
+
+    from gtsam_points_tpu.ops.features import estimate_normals_covs
+
+    prep = jax.jit(lambda f: estimate_normals_covs(
+        voxelgrid_sampling(f, 0.5, capacity=8192), k=10, grid_leaf=1.0))
+    target = prep(make_frame(io.read_points(
+        os.path.join(data_root, "kitti_07_dump/000000/points.bin")), capacity=25088))
+    source = prep(make_frame(io.read_points(
+        os.path.join(data_root, "kitti_07_dump/000001/points.bin")), capacity=25088))
+    params = OdometryParams(
+        voxel_resolution=1.0, map_capacity=65536, min_voxel_points=4.0,
+        max_iterations=5, keyframe_trans=1e-9, keyframe_rot=1e-9,
+    )
+    noise = se3.se3_exp(jnp.asarray([0.01, -0.01, 0.02, 0.05, -0.04, 0.03]))
+
+    st_ref = init_odometry(target, params)
+    poses_ref = []
+    for _ in range(3):
+        st_ref, T, _ = odometry_step(st_ref, source, params, noise)
+        poses_ref.append(np.asarray(T))
+
+    stepper = make_odometry_stepper(params, donate=True)
+    st = jax.tree_util.tree_map(lambda x: x + 0, init_odometry(target, params))
+    poses_don = []
+    for _ in range(3):
+        st, T, _ = stepper(st, source, noise)
+        poses_don.append(np.asarray(T))
+
+    for a, b in zip(poses_ref, poses_don):
+        np.testing.assert_allclose(a, b, atol=1e-6)
