@@ -512,12 +512,18 @@ def insert_frame_incremental(vmap: GaussianVoxelMap, frame: Frame):
     row, found, _, tslot = table_probe(vmap.table, keys)
     rows_mom = point_moments(frame.points, frame.covs, frame.mask.astype(jnp.float32), frame.intensities)
 
-    # 1) accumulate into existing voxels
+    # 1) accumulate into existing voxels. All scatters below use
+    # mode="drop" with an out-of-bounds sentinel index instead of the
+    # concat-a-sentinel-row idiom: the concats forced full copies of the
+    # map-sized buffers (~50 MB per insert at 131k capacity) before every
+    # update, dominating the streaming insert cost.
     slot_exist = jnp.where(found, row, cap)
-    moments = jnp.concatenate([vmap.moments, jnp.zeros((1, _MOM_LANES), jnp.float32)])
-    moments = moments.at[slot_exist].add(jnp.where(found[:, None], rows_mom, 0.0))[:cap]
-    last_seen = jnp.concatenate([vmap.last_seen, jnp.zeros((1,), jnp.int32)])
-    last_seen = last_seen.at[slot_exist].max(jnp.where(found, epoch, 0))[:cap]
+    moments = vmap.moments.at[slot_exist].add(
+        jnp.where(found[:, None], rows_mom, 0.0), mode="drop"
+    )
+    last_seen = vmap.last_seen.at[slot_exist].max(
+        jnp.where(found, epoch, 0), mode="drop"
+    )
 
     # 2) unique missed keys -> appended rows
     miss_keys = jnp.where(frame.mask & ~found, keys, vk.INVALID_KEY)
@@ -533,51 +539,53 @@ def insert_frame_incremental(vmap: GaussianVoxelMap, frame: Frame):
     dest = jnp.minimum(dest, cap)
 
     keyslot = jnp.where(is_new, dest, cap)
-    new_keys = jnp.concatenate([vmap.keys, jnp.asarray([vk.INVALID_KEY])])
-    new_keys = new_keys.at[keyslot].set(jnp.where(is_new, skeys, vk.INVALID_KEY))[:cap]
-    moments = jnp.concatenate([moments, jnp.zeros((1, _MOM_LANES), jnp.float32)])
-    moments = moments.at[dest].add(jnp.where(valid[:, None], smom, 0.0))[:cap]
-    last_seen = jnp.concatenate([last_seen, jnp.zeros((1,), jnp.int32)])
-    last_seen = last_seen.at[keyslot].max(epoch)[:cap]
+    new_keys = vmap.keys.at[keyslot].set(
+        jnp.where(is_new, skeys, vk.INVALID_KEY), mode="drop"
+    )
+    moments = moments.at[dest].add(jnp.where(valid[:, None], smom, 0.0), mode="drop")
+    last_seen = last_seen.at[keyslot].max(epoch, mode="drop")
 
     # 3) INCREMENTAL probe-table update (scan-sized work, not map-sized)
     n = keys.shape[0]
     m = vmap.table.shape[0]
     n_slots = m * _BUCKET_SLOTS
-    flat = jnp.concatenate(
-        [vmap.table.reshape(n_slots, _REC_LANES), jnp.zeros((1, _REC_LANES), jnp.float32)]
+    # bucket occupancancy gather MUST precede the table updates: reading the
+    # original table after `flat` exists would keep both versions alive and
+    # force a full 16 MB table copy (XLA cannot update in place while the
+    # stale version is still read)
+    hb = _hash_key(skeys, 0, m)
+    hkey = jnp.where(is_new, hb, m)
+    order2 = jnp.argsort(hkey)
+    hb2 = hkey[order2]
+    brow = vmap.table[jnp.where(hb2 < m, hb2, 0)]  # [n, 128] one gather
+    k8 = jax.lax.bitcast_convert_type(
+        brow.reshape(n, _BUCKET_SLOTS, _REC_LANES)[:, :, 0], jnp.int32
     )
+    occ = jnp.sum((k8 != vk.INVALID_KEY).astype(jnp.int32), axis=1)
+    flat = vmap.table.reshape(n_slots, _REC_LANES)
     # 3a) mirror existing-voxel moment deltas into their records (lanes 2:13)
     delta16 = jnp.concatenate(
         [jnp.zeros((n, 2), jnp.float32), rows_mom[:, :11],
          jnp.zeros((n, _REC_LANES - 13), jnp.float32)], axis=-1
     )
     sl = jnp.where(found, tslot, n_slots)
-    flat = flat.at[sl].add(jnp.where(found[:, None], delta16, 0.0))
+    flat = flat.at[sl].add(jnp.where(found[:, None], delta16, 0.0), mode="drop")
     # 3b) append records for the new voxels: sort the new uniques by bucket,
     # rank within bucket, land at (first-free + rank) of the contiguous tail
-    hb = _hash_key(skeys, 0, m)
-    hkey = jnp.where(is_new, hb, m)
-    order2 = jnp.argsort(hkey)
-    hb2 = hkey[order2]
+    # (hb2/occ computed above, before the table updates)
     idx = jnp.arange(n, dtype=jnp.int32)
     is_first = jnp.concatenate([jnp.ones((1,), bool), hb2[1:] != hb2[:-1]])
     run_start = jax.lax.cummax(jnp.where(is_first, idx, 0))
     rank = idx - run_start
-    brow = vmap.table[jnp.where(hb2 < m, hb2, 0)]  # [n, 128] one gather
-    k8 = jax.lax.bitcast_convert_type(
-        brow.reshape(n, _BUCKET_SLOTS, _REC_LANES)[:, :, 0], jnp.int32
-    )
-    occ = jnp.sum((k8 != vk.INVALID_KEY).astype(jnp.int32), axis=1)
     dest2 = dest[order2]
     ok_new = (hb2 < m) & (occ + rank < _BUCKET_SLOTS) & (dest2 < cap)
     slot_new = jnp.where(ok_new, hb2 * _BUCKET_SLOTS + occ + rank, n_slots)
     recs = _make_records(
         skeys[order2], dest2, moments[jnp.minimum(dest2, cap - 1)]
     )
-    # invalid entries target the sentinel row (discarded below)
-    flat = flat.at[slot_new].set(recs)
-    table = flat[:n_slots].reshape(m, _BUCKET_LANES)
+    # invalid entries carry the out-of-bounds sentinel index -> dropped
+    flat = flat.at[slot_new].set(recs, mode="drop")
+    table = flat.reshape(m, _BUCKET_LANES)
 
     out = GaussianVoxelMap(
         leaf=vmap.leaf,
