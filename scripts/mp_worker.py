@@ -97,6 +97,25 @@ def main():
         num_voxels=int(sharded_num_voxels(svmap_local)),
     )
 
+    # cross-process sharded INSERT: a second frame lands in shards owned by
+    # both processes; total voxel count must match the single-map reference
+    rng2 = np.random.RandomState(9)
+    pts2 = pts + rng2.randn(*pts.shape).astype(np.float32) * 3.0
+    frame2 = make_frame(pts2, covs=covs, capacity=n)
+    from gtsam_points_tpu.parallel import sharded_insert_frame
+    from gtsam_points_tpu.ops.voxelmap import insert_frame
+
+    svmap2, ovf = jax.jit(sharded_insert_frame)(svmap, frame2)
+    nv_sharded = int(np.asarray(jnp.sum(svmap2.num_voxels)))
+    vm_ref = insert_frame(build_voxelmap(frame, 1.0, capacity=4 * n), frame2)
+    check(
+        "cross_process_sharded_insert",
+        int(ovf) == 0 and nv_sharded == int(vm_ref.num_voxels),
+        sharded_num_voxels=nv_sharded,
+        reference_num_voxels=int(vm_ref.num_voxels),
+        overflow=int(ovf),
+    )
+
     # distributed linearize: per-shard local reduction + hierarchical psum
     # (chip axis within a process, host axis ACROSS processes over gloo)
     lin_sh = jax.jit(
