@@ -290,9 +290,11 @@ def main():
     raw_ms_per_scan = path_raw_ms[best_path]
     # stability: re-measure the winner 5 times with fresh chains; headline =
     # median, spread published (VERDICT r3 item 9)
-    winner_runs = [path_ms[best_path]]
-    for _ in range(4):
-        m, _ = marginal_lin_ms(paths[best_path])
+    # longer chains for the winner: at L2=110 the ~9 ms signal is within
+    # tunnel noise (+-3 ms -> +-33%/draw); L2=510 gives ~45 ms of signal
+    winner_runs = []
+    for _ in range(5):
+        m, _ = marginal_lin_ms(paths[best_path], L1=10, L2=510)
         winner_runs.append(m)
     winner_runs.sort()
     ms_per_scan = winner_runs[len(winner_runs) // 2]
