@@ -79,6 +79,14 @@ class HashGrid(NamedTuple):
     def points_per_cell(self) -> int:
         return self.cell_points.shape[1]
 
+    @property
+    def overflowed(self) -> jax.Array:
+        """True when more distinct voxels were present than `cell_capacity`
+        could hold — whole cells were dropped (highest packed keys first) and
+        queries in those regions silently lose candidates. Check this after
+        building grids over unknown-extent clouds (advisor finding, r4)."""
+        return self.num_cells > self.cell_capacity
+
 
 def build_hash_grid(
     points: jax.Array,
@@ -157,11 +165,20 @@ def build_hash_grid(
         # coarse-level candidates — radius queries whose answer set spans a
         # dense region may return fewer than the true in-radius count
         # (bounded-budget semantics shared with the reference's KnnResult
-        # max_nn cap, ann/knn_result.hpp:10-146). The coarse CELL capacity
-        # shrinks by ~factor^3 (it has that many fewer occupied cells),
-        # which keeps cell_records ~the fine level's size instead of
-        # factor^3 larger (~100 MB at 25k points, factor 5).
-        coarse_cells = max(512, cap // max(coarse_factor**3 // 2, 1))
+        # max_nn cap, ann/knn_result.hpp:10-146).
+        # CELL capacity (advisor finding, r4): lidar occupancy is
+        # surface-like — coarsening the leaf by `factor` shrinks the occupied
+        # cell count by ~factor^2, NOT factor^3; a volume-scaled capacity
+        # (cap // factor^3) drops >half the occupied coarse cells on real
+        # sparse clouds (measured: 1485 occupied vs 632 capacity at 20k
+        # points, ±60 m, leaf 1.0, factor 4 — 34% of off-surface queries
+        # lost their coarse fallback). Scale by one factor only and keep a
+        # generous floor; memory stays bounded because max_points_per_cell
+        # (not cell count) dominates the tile size. Overflow REMAINS
+        # detectable: `num_cells` counts true distinct keys, so
+        # num_cells > cell_capacity flags dropped cells (see
+        # HashGrid.overflowed).
+        coarse_cells = max(4096, cap // max(coarse_factor, 1))
         coarse = build_hash_grid(
             points,
             mask,

@@ -1082,7 +1082,16 @@ def probe_moments(vmap, p_src, mask, delta):
     # key lanes hold int32 keys BITCAST to f32 (often NaN); zero them before
     # the extract matmul (0 x NaN would poison every output sum)
     recz = jnp.where(key_lane, 0.0, rec)
-    pick10 = jnp.dot(recz * expanded, S, preferred_element_type=jnp.float32)  # [N, 10]
+    # precision=HIGHEST: the value lane must not round (default-precision f32
+    # dot may run as bf16 passes on some libtpu versions, corrupting the
+    # second-moment sums exactly where s6/cnt - mu*mu cancels; the
+    # [N,128]x[128,10] cost is negligible — advisor finding, r4)
+    pick10 = jnp.dot(
+        recz * expanded,
+        S,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # [N, 10]
     return pick10.T, found & mask
 
 

@@ -378,9 +378,10 @@ class ISAM2Ext:
         loop edges + rigid active-window chain, optimized with the O(P+E)
         block-sparse pose-graph LM (optim/sparse.py). Every estimate (frozen
         included) is updated; marginal priors are re-anchored at the relaxed
-        configuration (lin point moved, offset zeroed — the prior keeps its
-        SHAPE, i.e. the relative structure it constrains, which is what
-        survives a gauge-consistent relax)."""
+        configuration with their pending delta_star TRANSPORTED to the new
+        lin point to first order (delta*' = Log(T_pre^-1 lin Exp(delta*)),
+        see _reanchor) — the prior keeps both the relative structure it
+        constrains and the not-yet-retracted correction it carried."""
         from gtsam_points_tpu.optim.sparse import PoseGraphEdges, optimize_pose_graph
 
         keys = sorted(self.estimates)

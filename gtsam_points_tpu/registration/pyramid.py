@@ -144,7 +144,11 @@ def register_scan_pyramid(
         covs6 = None if covs_all is None else covs_all[:, :: st.stride]
         mask = mask_all[:: st.stride]
         refresh = st.refresh if st.refresh > 0 else st.iters
-        iters_per = -(-st.iters // refresh)
+        # distribute iters over the probe rounds WITHOUT exceeding the
+        # declared schedule: the first (iters % refresh) rounds run one extra
+        # GN iteration instead of rounding every round up (advisor finding,
+        # r4: iters=3, refresh=2 must run 2+1, not 2+2)
+        base_iters, extra_rounds = divmod(st.iters, refresh)
 
         def gn_body(i, carry, vm=vm, pts=pts, covs6=covs6):
             T, momT, found = carry
@@ -155,9 +159,10 @@ def register_scan_pyramid(
             )
             return (T @ se3.se3_exp(xi), momT, found)
 
-        for _ in range(refresh):
+        for r in range(refresh):
             momT, found = probe_moments(vm, pts, mask, T)
-            T, _, _ = jax.lax.fori_loop(0, iters_per, gn_body, (T, momT, found))
+            n_it = base_iters + (1 if r < extra_rounds else 0)
+            T, _, _ = jax.lax.fori_loop(0, n_it, gn_body, (T, momT, found))
     return T
 
 

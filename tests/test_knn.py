@@ -195,3 +195,37 @@ def test_radius_search_multilevel_beyond_leaf():
         assert (np.diff(s) >= -1e-6).all()
         checked += 1
     assert checked >= 10  # the oracle actually exercised multi-leaf radii
+
+
+def test_coarse_capacity_sparse_cloud_no_cell_drop():
+    """Advisor finding r4: the coarse-level cell capacity must scale with the
+    SURFACE-like occupancy of lidar clouds (~factor^2 fewer cells when the
+    leaf coarsens by factor), not volume-like factor^3 — the old
+    cap//(factor^3//2) capacity silently dropped >half the occupied coarse
+    cells on a 20k-point ±60 m cloud, so off-surface queries lost the coarse
+    fallback the level exists for. Reproduces that scenario and asserts
+    (a) the coarse level does not overflow, and (b) every off-surface query
+    still finds a neighbor through it."""
+    rng = np.random.RandomState(11)
+    n = 20000
+    # surface-like cloud: large horizontal extent, thin vertical structure
+    pts = np.empty((n, 3), np.float32)
+    pts[:, 0] = (rng.rand(n) * 120.0 - 60.0).astype(np.float32)
+    pts[:, 1] = (rng.rand(n) * 120.0 - 60.0).astype(np.float32)
+    pts[:, 2] = (rng.randn(n) * 0.5).astype(np.float32)
+    frame = make_frame(pts)
+    grid = build_hash_grid(frame.points, frame.mask, leaf=1.0, coarse_factor=4)
+    assert grid.coarse is not None
+    assert not bool(grid.coarse.overflowed), (
+        f"coarse level overflowed: {int(grid.coarse.num_cells)} occupied cells "
+        f"vs capacity {grid.coarse.cell_capacity}"
+    )
+    # off-surface queries ~2.5 fine leaves above the sheet: fine level misses,
+    # coarse fallback must catch every one
+    q = pts[:: n // 256][:256].copy()
+    q[:, 2] += 2.5
+    qm = jnp.ones((q.shape[0],), bool)
+    idx, sq, valid = knn_search(grid, jnp.asarray(q), qm, 1)
+    assert np.asarray(valid).all(), (
+        f"{(~np.asarray(valid)).sum()} off-surface queries lost their coarse fallback"
+    )
