@@ -635,25 +635,30 @@ def _unpack_unary(col) -> Linearized:
 
 
 def linearize_vgicp_unary(
-    p_src, momT, found, delta, min_voxel_points, eps=1e-3, src_covs6=None
+    p_src, momT, found, delta, min_voxel_points, eps=1e-3, src_covs6=None,
+    weights=None,
 ) -> Linearized:
     """Unary (source-block-only) fused VGICP linearize from raw moment rows.
 
-    Same inputs as linearize_vgicp_moments; returns Linearized whose H_ss /
+    Same inputs as linearize_vgicp_moments (plus optional per-lane `weights`,
+    see linearize_vgicp_unary_xla); returns Linearized whose H_ss /
     b_s / error / num_inliers are populated and whose target blocks are zero
     (the registration hot path never reads them). Falls back to
     linearize_vgicp_unary_xla off-TPU (same math up to fp roundoff)."""
     if not _on_tpu():
         return linearize_vgicp_unary_xla(
-            p_src, momT, found, delta, min_voxel_points, eps, src_covs6
+            p_src, momT, found, delta, min_voxel_points, eps, src_covs6, weights
         )
     scalars = jnp.stack([jnp.float32(min_voxel_points), jnp.float32(eps)]).reshape(1, 2)
+    mask_f = found.astype(jnp.float32)
+    if weights is not None:
+        mask_f = mask_f * weights  # the kernel uses m multiplicatively
     out = _vgicp_unary_call(
         delta.reshape(1, 16),
         scalars,
         p_src,
         momT,
-        found.astype(jnp.float32),
+        mask_f,
         src_covs6,
         src_covs6 is not None,
     )
@@ -958,7 +963,8 @@ def linearize_vgicp_unary_dense(
 
 
 def linearize_vgicp_unary_xla(
-    p_src, momT, found, delta, min_voxel_points, eps=1e-3, src_covs6=None
+    p_src, momT, found, delta, min_voxel_points, eps=1e-3, src_covs6=None,
+    weights=None,
 ) -> Linearized:
     """Pure-XLA unary VGICP linearize on planar [*,N] rows (lane axis = N).
 
@@ -968,10 +974,18 @@ def linearize_vgicp_unary_xla(
     per B=64 iteration vs 3.98 for vmapped Pallas — XLA fuses the row chain
     and the batch axis keeps the VPU dense, where single-lane [1,N] rows
     waste 7/8 sublanes). Also serves as the off-TPU fallback. Target-side
-    blocks are zero."""
+    blocks are zero.
+
+    `weights` ([N] f32, optional) scales each lane's contribution — every
+    accumulated quantity (H, b, error, inlier count) is linear in the mask
+    value, so a per-lane weight rides it exactly. Used by the source-cluster
+    path (registration/cluster.py) where weight = cluster point count;
+    num_inliers then reports the WEIGHTED count (~number of points)."""
     cnt = momT[0]
     ok = found & (cnt >= min_voxel_points)
     okf = ok.astype(jnp.float32)
+    if weights is not None:
+        okf = okf * weights
     safe = jnp.maximum(cnt, 1.0)
     mu = momT[1:4] / safe
     mu2 = jnp.stack(

@@ -485,95 +485,126 @@ def lookup_fetch_planar(vmap: GaussianVoxelMap, moved_p: jax.Array, mask: jax.Ar
     return found, cnt, mu, s6 - mu2
 
 
-def insert_frame_incremental(vmap: GaussianVoxelMap, frame: Frame):
+def insert_frame_incremental(
+    vmap: GaussianVoxelMap, frame: Frame, scan_cells_capacity: int | None = None
+):
     """Fully-incremental insertion: scatter-add moments into existing voxels
     AND append newly-seen voxels — no full-map re-sort, no host sync, jittable
     as part of a larger step (the odometry pipeline wraps it in lax.cond).
 
-    New-voxel append: unique missed keys (one sort of the SCAN, not the map)
-    take rows [num_voxels, num_voxels + m). The probe table updates
-    INCREMENTALLY (round 4 — the previous full rebuild sorted + re-scattered
-    the whole 131k-capacity map every insert, ~6 of the 7.6 ms odometry
-    step): existing records take scatter-added moment deltas at their known
-    slots, and new voxels append records into their bucket's contiguous
-    free tail (build_probe_table packs records from slot 0, and only full
-    rebuilds ever remove them, so first-free = occupancy). Keys whose bucket
-    is full are dropped from the table — the analogue of the reference's
-    tolerated insertion drops (types/gaussian_voxelmap_gpu.hpp:49-54,
+    PER-VOXEL PRE-AGGREGATION (round 5, VERDICT r4 item 2): the scan's
+    moment rows are segment-summed per voxel key FIRST (one scan sort + one
+    scan-row scatter into a compact [scan_cells_capacity] accumulator), and
+    every subsequent map/table scatter operates on UNIQUE CELLS (~5k for a
+    25k-point scan at leaf 1.0) instead of points — TPU scatters cost
+    per-ROW, so this cuts the dominant insert cost by ~#points/#cells. The
+    reference's GPU insert does the same per-voxel accumulation before
+    touching the map (types/gaussian_voxelmap_gpu.cu:211-307).
+
+    `scan_cells_capacity` (STATIC) bounds distinct voxels per scan; None
+    defaults to the scan's point capacity (never drops). When a scan
+    exceeds it, the overflow flag is raised and callers fall back to the
+    structural `insert_frame` (odometry does this automatically).
+
+    The probe table updates INCREMENTALLY (round 4 — the previous full
+    rebuild sorted + re-scattered the whole 131k-capacity map every insert):
+    existing records take scatter-added moment deltas at their known slots,
+    and new voxels append records into their bucket's contiguous free tail
+    (build_probe_table packs records from slot 0, and only full rebuilds
+    ever remove them, so first-free = occupancy). Keys whose bucket is full
+    are dropped from the table — the analogue of the reference's tolerated
+    insertion drops (types/gaussian_voxelmap_gpu.hpp:49-54,
     `target_points_drop_rate`).
 
     -> (new_vmap, overflow): `overflow` is True when the append ran past
-    capacity (callers should then run the structural `insert_frame`, which
-    LRU-evicts; appended rows past capacity are dropped here).
+    map capacity or the scan exceeded scan_cells_capacity (callers should
+    then run the structural `insert_frame`, which LRU-evicts; appended rows
+    past capacity are dropped here).
     """
     cap = vmap.capacity
     epoch = vmap.epoch + 1
-    keys = vk.point_keys(frame.points, frame.mask, vmap.leaf)
-    row, found, _, tslot = table_probe(vmap.table, keys)
-    rows_mom = point_moments(frame.points, frame.covs, frame.mask.astype(jnp.float32), frame.intensities)
+    n = frame.points.shape[0]
+    ucap = scan_cells_capacity if scan_cells_capacity is not None else n
 
-    # 1) accumulate into existing voxels. All scatters below use
-    # mode="drop" with an out-of-bounds sentinel index instead of the
-    # concat-a-sentinel-row idiom: the concats forced full copies of the
+    # ---- 0) per-voxel pre-aggregation: the ONLY scan-row-sized ops are one
+    # key sort, one moment-row gather, and two compaction scatters; all map
+    # and table updates below run at ucap rows.
+    keys = vk.point_keys(frame.points, frame.mask, vmap.leaf)
+    order = jnp.argsort(keys)
+    skeys = keys[order]
+    valid = skeys != vk.INVALID_KEY
+    is_new = valid & jnp.concatenate([jnp.ones((1,), bool), skeys[1:] != skeys[:-1]])
+    seg = jnp.cumsum(is_new.astype(jnp.int32)) - 1  # unique-cell id per point
+    num_unique = jnp.maximum(seg[-1] + 1, 0)
+    rows_mom = point_moments(
+        frame.points, frame.covs, frame.mask.astype(jnp.float32), frame.intensities
+    )[order]
+    uslot = jnp.where(valid, jnp.minimum(seg, ucap), ucap)
+    umom = jnp.zeros((ucap + 1, _MOM_LANES), jnp.float32).at[uslot].add(rows_mom)[:ucap]
+    ukeys = jnp.full((ucap + 1,), vk.INVALID_KEY, jnp.int32).at[
+        jnp.where(is_new, jnp.minimum(seg, ucap), ucap)
+    ].set(skeys)[:ucap]
+    uvalid = ukeys != vk.INVALID_KEY
+
+    row, found, _, tslot = table_probe(vmap.table, ukeys)
+    found = found & uvalid
+
+    # 1) accumulate into existing voxels (unique-cell rows). All scatters
+    # below use mode="drop" with an out-of-bounds sentinel index instead of
+    # the concat-a-sentinel-row idiom: the concats forced full copies of the
     # map-sized buffers (~50 MB per insert at 131k capacity) before every
     # update, dominating the streaming insert cost.
     slot_exist = jnp.where(found, row, cap)
     moments = vmap.moments.at[slot_exist].add(
-        jnp.where(found[:, None], rows_mom, 0.0), mode="drop"
+        jnp.where(found[:, None], umom, 0.0), mode="drop"
     )
     last_seen = vmap.last_seen.at[slot_exist].max(
         jnp.where(found, epoch, 0), mode="drop"
     )
 
-    # 2) unique missed keys -> appended rows
-    miss_keys = jnp.where(frame.mask & ~found, keys, vk.INVALID_KEY)
-    order = jnp.argsort(miss_keys)
-    skeys = miss_keys[order]
-    smom = rows_mom[order]
-    valid = skeys != vk.INVALID_KEY
-    is_new = valid & jnp.concatenate([jnp.ones((1,), bool), skeys[1:] != skeys[:-1]])
-    seg = jnp.cumsum(is_new.astype(jnp.int32)) - 1  # unique id per missed point
-    num_new = jnp.maximum(seg[-1] + 1, 0)
-    dest = jnp.where(valid, vmap.num_voxels + seg, cap)  # capped below
-    overflow = (vmap.num_voxels + num_new) > cap
+    # 2) append new voxels — the unique cells are already deduped, so a
+    # cumsum ranks them straight into contiguous rows
+    new_mask = uvalid & jnp.logical_not(found)
+    rank_new = jnp.cumsum(new_mask.astype(jnp.int32)) - 1
+    num_new = jnp.sum(new_mask.astype(jnp.int32))
+    dest = jnp.where(new_mask, vmap.num_voxels + rank_new, cap)  # capped below
+    overflow = ((vmap.num_voxels + num_new) > cap) | (num_unique > ucap)
     dest = jnp.minimum(dest, cap)
 
-    keyslot = jnp.where(is_new, dest, cap)
-    new_keys = vmap.keys.at[keyslot].set(
-        jnp.where(is_new, skeys, vk.INVALID_KEY), mode="drop"
+    new_keys = vmap.keys.at[dest].set(
+        jnp.where(new_mask, ukeys, vk.INVALID_KEY), mode="drop"
     )
-    moments = moments.at[dest].add(jnp.where(valid[:, None], smom, 0.0), mode="drop")
-    last_seen = last_seen.at[keyslot].max(epoch, mode="drop")
+    moments = moments.at[dest].add(jnp.where(new_mask[:, None], umom, 0.0), mode="drop")
+    last_seen = last_seen.at[dest].max(jnp.where(new_mask, epoch, 0), mode="drop")
 
-    # 3) INCREMENTAL probe-table update (scan-sized work, not map-sized)
-    n = keys.shape[0]
+    # 3) INCREMENTAL probe-table update (unique-cell-sized work)
     m = vmap.table.shape[0]
     n_slots = m * _BUCKET_SLOTS
-    # bucket occupancancy gather MUST precede the table updates: reading the
+    # bucket occupancy gather MUST precede the table updates: reading the
     # original table after `flat` exists would keep both versions alive and
     # force a full 16 MB table copy (XLA cannot update in place while the
     # stale version is still read)
-    hb = _hash_key(skeys, 0, m)
-    hkey = jnp.where(is_new, hb, m)
-    order2 = jnp.argsort(hkey)
+    hb = _hash_key(ukeys, 0, m)
+    hkey = jnp.where(new_mask, hb, m)
+    order2 = jnp.argsort(hkey)  # ucap-row sort, not scan-row
     hb2 = hkey[order2]
-    brow = vmap.table[jnp.where(hb2 < m, hb2, 0)]  # [n, 128] one gather
+    brow = vmap.table[jnp.where(hb2 < m, hb2, 0)]  # [ucap, 128] one gather
     k8 = jax.lax.bitcast_convert_type(
-        brow.reshape(n, _BUCKET_SLOTS, _REC_LANES)[:, :, 0], jnp.int32
+        brow.reshape(ucap, _BUCKET_SLOTS, _REC_LANES)[:, :, 0], jnp.int32
     )
     occ = jnp.sum((k8 != vk.INVALID_KEY).astype(jnp.int32), axis=1)
     flat = vmap.table.reshape(n_slots, _REC_LANES)
     # 3a) mirror existing-voxel moment deltas into their records (lanes 2:13)
     delta16 = jnp.concatenate(
-        [jnp.zeros((n, 2), jnp.float32), rows_mom[:, :11],
-         jnp.zeros((n, _REC_LANES - 13), jnp.float32)], axis=-1
+        [jnp.zeros((ucap, 2), jnp.float32), umom[:, :11],
+         jnp.zeros((ucap, _REC_LANES - 13), jnp.float32)], axis=-1
     )
     sl = jnp.where(found, tslot, n_slots)
     flat = flat.at[sl].add(jnp.where(found[:, None], delta16, 0.0), mode="drop")
     # 3b) append records for the new voxels: sort the new uniques by bucket,
     # rank within bucket, land at (first-free + rank) of the contiguous tail
     # (hb2/occ computed above, before the table updates)
-    idx = jnp.arange(n, dtype=jnp.int32)
+    idx = jnp.arange(ucap, dtype=jnp.int32)
     is_first = jnp.concatenate([jnp.ones((1,), bool), hb2[1:] != hb2[:-1]])
     run_start = jax.lax.cummax(jnp.where(is_first, idx, 0))
     rank = idx - run_start
@@ -581,7 +612,7 @@ def insert_frame_incremental(vmap: GaussianVoxelMap, frame: Frame):
     ok_new = (hb2 < m) & (occ + rank < _BUCKET_SLOTS) & (dest2 < cap)
     slot_new = jnp.where(ok_new, hb2 * _BUCKET_SLOTS + occ + rank, n_slots)
     recs = _make_records(
-        skeys[order2], dest2, moments[jnp.minimum(dest2, cap - 1)]
+        ukeys[order2], dest2, moments[jnp.minimum(dest2, cap - 1)]
     )
     # invalid entries carry the out-of-bounds sentinel index -> dropped
     flat = flat.at[slot_new].set(recs, mode="drop")

@@ -51,6 +51,10 @@ class OdometryParams:
     keyframe_rot: float = 0.2  # ...or rotated this much since last insert
     full_insert_miss_fraction: float = 0.05  # structural merge when more than
     # this fraction of the scan lands in unmapped voxels
+    scan_cells_capacity: int = 8192  # static bound on distinct voxels touched
+    # by one scan (per-voxel pre-aggregated insert; ~5.2k at leaf 1.0 for a
+    # 25k-point kitti scan — a scan exceeding it falls back to the
+    # structural merge via the overflow flag)
     lm: Optional[LMParams] = None
 
 
@@ -156,7 +160,9 @@ def odometry_step(state: OdometryState, frame: Frame, params: OdometryParams, T_
     world_frame = transform_frame(T_new, frame)
 
     def do_insert(vm):
-        vm2, overflow = insert_frame_incremental(vm, world_frame)
+        vm2, overflow = insert_frame_incremental(
+            vm, world_frame, params.scan_cells_capacity
+        )
         return (
             jax.lax.cond(overflow, lambda: insert_frame(vm, world_frame), lambda: vm2),
             overflow,

@@ -2,6 +2,11 @@ from gtsam_points_tpu.registration.alignment import align_points_se3, align_poin
 from gtsam_points_tpu.registration.fpfh import estimate_fpfh, FPFH_DIM
 from gtsam_points_tpu.registration.ransac import estimate_pose_ransac, RANSACParams
 from gtsam_points_tpu.registration.gnc import estimate_pose_gnc, GNCParams
+from gtsam_points_tpu.registration.cluster import (
+    SourceClusters,
+    cluster_source,
+    register_clusters_pyramid,
+)
 from gtsam_points_tpu.registration.pyramid import (
     DEFAULT_STAGES,
     PyramidStage,

@@ -54,6 +54,7 @@ from gtsam_points_tpu.ops.pallas_linearize import (
 from gtsam_points_tpu.ops.voxelmap import GaussianVoxelMap, build_voxelmap
 from gtsam_points_tpu.types.frame import Frame
 from gtsam_points_tpu.utils import se3
+from gtsam_points_tpu.utils.solve6 import solve6
 
 
 class PyramidStage(NamedTuple):
@@ -154,9 +155,7 @@ def register_scan_pyramid(
             T, momT, found = carry
             lin = lin_fn(pts, momT, found, T, min_voxel_points, src_covs6=covs6)
             H = lin.H_ss + damping * jnp.eye(6)
-            xi = jax.scipy.linalg.cho_solve(
-                jax.scipy.linalg.cho_factor(H, lower=True), lin.b_s
-            )
+            xi = solve6(H, lin.b_s)
             return (T @ se3.se3_exp(xi), momT, found)
 
         for r in range(refresh):

@@ -89,3 +89,26 @@ def test_left_jacobian_inverse():
     J = se3.so3_left_jacobian(w)
     Jinv = se3.so3_left_jacobian_inv(w)
     np.testing.assert_allclose(J @ Jinv, jnp.broadcast_to(jnp.eye(3), (16, 3, 3)), atol=1e-4)
+
+
+def test_solve6_matches_cho_solve():
+    """utils/solve6 unrolled Cholesky vs jax.scipy cho_solve oracle, batched
+    and single, on random SPD systems."""
+    import jax
+    import jax.scipy.linalg as jsl
+
+    from gtsam_points_tpu.utils.solve6 import solve6
+
+    rng = np.random.RandomState(3)
+    A = rng.randn(8, 6, 6).astype(np.float32)
+    H = A @ np.transpose(A, (0, 2, 1)) + 3.0 * np.eye(6, dtype=np.float32)
+    b = rng.randn(8, 6).astype(np.float32)
+    got = np.asarray(jax.jit(solve6)(jnp.asarray(H), jnp.asarray(b)))
+    for i in range(8):
+        want = np.asarray(
+            jsl.cho_solve(jsl.cho_factor(jnp.asarray(H[i]), lower=True), jnp.asarray(b[i]))
+        )
+        np.testing.assert_allclose(got[i], want, rtol=2e-4, atol=2e-4)
+    # single (unbatched) call
+    got1 = np.asarray(solve6(jnp.asarray(H[0]), jnp.asarray(b[0])))
+    np.testing.assert_allclose(got1, got[0], rtol=1e-6)
