@@ -157,28 +157,6 @@ def _linearize_kernel(d_ref, p_ref, mu_ref, w_ref, m_ref, out_ref, acc_ref, *, n
         out_ref[:] = acc_ref[:]
 
 
-def _error_kernel(d_ref, p_ref, mu_ref, w_ref, m_ref, out_ref, acc_ref, *, n: int, tile: int):
-    from jax.experimental import pallas as pl
-
-    pid = pl.program_id(0)
-
-    @pl.when(pid == 0)
-    def _():
-        acc_ref[0, 0] = 0.0
-
-    p, mu, w, m = _load_planar(p_ref, mu_ref, w_ref, m_ref, pid, n, tile)
-    pm = _transform(d_ref, p)
-    r = pm - mu
-    wm = w * m
-    r0, r1, r2 = r[0:1], r[1:2], r[2:3]
-    wr0, wr1, wr2 = _sym_mul_rows(wm, r0, r1, r2)
-    acc_ref[0, 0] += jnp.sum(wr0 * r0 + wr1 * r1 + wr2 * r2)
-
-    @pl.when(pid == pl.num_programs(0) - 1)
-    def _():
-        out_ref[0, 0] = acc_ref[0, 0]
-
-
 def _pad_lanes(x, n_pad):
     if x.shape[-1] == n_pad:
         return x
@@ -249,41 +227,21 @@ def linearize_fused(p_src, mu, W6, mask, delta) -> Linearized:
 
 
 @jax.jit
-def _error_call(delta_row, p_src, mu, W6, mask_f):
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    n = p_src.shape[-1]
-    tile = min(_TILE, max(512, n))
-    n_pad = -(-n // tile) * tile
-    grid = n_pad // tile
-
-    out = pl.pallas_call(
-        functools.partial(_error_kernel, n=n, tile=tile),
-        grid=(grid,),
-        in_specs=_specs(tile),
-        out_specs=pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
-        out_shape=jax.ShapeDtypeStruct((1, 1), jnp.float32),
-        scratch_shapes=[pltpu.SMEM((1, 1), jnp.float32)],
-    )(
-        delta_row,
-        _pad_lanes(p_src, n_pad),
-        _pad_lanes(mu, n_pad),
-        _pad_lanes(W6, n_pad),
-        _pad_lanes(mask_f[None, :], n_pad),
-    )
-    return out[0, 0]
-
-
 def error_fused(p_src, mu, W6, mask, delta) -> jax.Array:
-    """Fused frozen-correspondence error sum rᵀWr on TPU; XLA planar fallback."""
-    if not _on_tpu():
-        from gtsam_points_tpu.ops import planar
+    """Frozen-correspondence error sum rᵀWr — routed to the fused XLA planar
+    path on every backend.
 
-        pm = planar.transform(delta, p_src)
-        return planar.weighted_error(pm - mu, W6, mask)
+    RETIRED PALLAS KERNEL (round 5, VERDICT r4 item 7): the dedicated error
+    kernel measured speedup 0.96x against this XLA path on v5e
+    (TPU_PARITY.json r4 perf_error_fused_vs_xla_fallback) — XLA already
+    fuses transform + weighted reduction into one pass, leaving the kernel
+    nothing to save. Per the win-or-delete rule the kernel was removed and
+    the dispatch is gated in scripts/tpu_parity.py (dispatch_error_path
+    check asserts the production route matches the measured winner)."""
+    from gtsam_points_tpu.ops import planar
 
-    return _error_call(delta.reshape(1, 16), p_src, mu, W6, mask.astype(jnp.float32))
+    pm = planar.transform(delta, p_src)
+    return planar.weighted_error(pm - mu, W6, mask)
 
 
 # ---------------------------------------------------------------------------

@@ -32,7 +32,6 @@ import numpy as np
 # round to pin.
 PERF_BASELINES_MS = {
     "perf_linearize_fused_vs_xla_fallback": 0.0243,
-    "perf_error_fused_vs_xla_fallback": 0.0118,
     "perf_moments_fused_vs_xla_fallback": 0.0304,
     "perf_vgicp_scan_pipeline_kernel_vs_xla": 0.0777,
     "perf_unary_pallas_vs_xla": 0.0334,
@@ -54,7 +53,7 @@ def main():
     from gtsam_points_tpu.ops import planar
     from gtsam_points_tpu.ops.downsample import voxelgrid_sampling
     from gtsam_points_tpu.ops.features import estimate_normals_covs
-    from gtsam_points_tpu.ops.pallas_linearize import error_fused, linearize_fused
+    from gtsam_points_tpu.ops.pallas_linearize import linearize_fused
     from gtsam_points_tpu.optim import FactorGraph, optimize_lm
     from gtsam_points_tpu.optim.lm import LMParams
     from gtsam_points_tpu.types.frame import make_frame
@@ -111,15 +110,6 @@ def main():
         inliers_fused=int(lin_fused.num_inliers),
         inliers_planar=int(lin_plan.num_inliers),
     )
-
-    e_fused = jax.jit(error_fused)(p_src, mu, W6, mask, delta)
-    e_plan = float(
-        jax.jit(lambda *a: planar.weighted_error(planar.transform(a[4], a[0]) - a[1], a[2], a[3]))(
-            p_src, mu, W6, mask, delta
-        )
-    )
-    record("pallas_error_vs_planar_on_device", rel(e_fused, e_plan) < tol,
-           error_fused=float(e_fused), error_planar=e_plan)
 
     # ---- 1b) moments-fused kernel vs its XLA equivalent, on device -------
     # (round 2 shipped this kernel correctness-checked only in interpret
@@ -232,11 +222,6 @@ def main():
             lambda d: consume(planar.linearize_point_system(
                 p_srcP, planar.transform(d, p_srcP), planar.transform(d, p_srcP) - muP, W6P, maskP, d[:3, :3]
             )),
-        ),
-        (
-            "error_fused",
-            lambda d: error_fused(p_srcP, muP, W6P, maskP, d),
-            lambda d: planar.weighted_error(planar.transform(d, p_srcP) - muP, W6P, maskP),
         ),
         (
             "moments_fused",
@@ -437,13 +422,89 @@ def main():
             regression_gate=f"<= {REGRESSION_GRACE}x recorded" if base is not None else "first round",
         )
 
+        # ---- 4) DISPATCH GATES (VERDICT r4 item 7): the production routing
+        # must MATCH the measured winner per regime, as a gated invariant
+        # rather than recorded prose. Tolerance 1.15x: a production path more
+        # than 15% behind the best measured candidate fails the check.
+        DISPATCH_TOL = 1.15
+
+        def gate_dispatch(regime, production, candidates_ms):
+            winner = min(candidates_ms, key=candidates_ms.get)
+            prod_ms = candidates_ms[production]
+            best_ms = candidates_ms[winner]
+            record(
+                f"dispatch_{regime}_matches_winner",
+                prod_ms <= DISPATCH_TOL * best_ms,
+                production=production,
+                winner=winner,
+                production_ms=round(prod_ms, 4),
+                winner_ms=round(best_ms, 4),
+                tolerance=DISPATCH_TOL,
+                candidates={k: round(v, 4) for k, v in candidates_ms.items()},
+            )
+
+        # single-scan linearize: production = moments_fused Pallas pipeline
+        ck = next(
+            c for c in report["checks"]
+            if c["name"] == "perf_vgicp_scan_pipeline_kernel_vs_xla"
+        )
+        gate_dispatch(
+            "single_scan_linearize",
+            "moments_fused_pallas",
+            {"moments_fused_pallas": ck["kernel_ms"], "xla_pipeline": ck["xla_fallback_ms"]},
+        )
+
+        # batched linearize: production = vmapped unary XLA; candidate = the
+        # one-launch batched Pallas unary kernel (linearize_vgicp_unary_batch)
+        from gtsam_points_tpu.ops.pallas_linearize import linearize_vgicp_unary_batch
+
+        def consume_b(lin):
+            return jnp.sum(lin.b_s) + jnp.sum(lin.H_ss) + jnp.sum(lin.error)
+
+        momT_b = jnp.broadcast_to(momTP, (Bp,) + momTP.shape)
+        mask_b = jnp.broadcast_to(maskP, (Bp,) + maskP.shape)
+
+        def batched_xla(d):
+            ds_ = jnp.broadcast_to(d, (Bp, 4, 4)).at[:, 0, 3].add(
+                1e-6 * jnp.arange(Bp, dtype=jnp.float32)
+            )
+            lin = jax.vmap(
+                lambda mT, fd, T: linearize_vgicp_unary_xla(
+                    p_srcP, mT, fd, T, 3.0, 1e-3, sc6P
+                )
+            )(momT_b, mask_b, ds_)
+            return consume_b(lin)
+
+        def batched_pallas(d):
+            ds_ = jnp.broadcast_to(d, (Bp, 4, 4)).at[:, 0, 3].add(
+                1e-6 * jnp.arange(Bp, dtype=jnp.float32)
+            )
+            lin = linearize_vgicp_unary_batch(
+                p_srcP, momT_b, mask_b, ds_, 3.0, 1e-3, sc6P
+            )
+            return consume_b(lin)
+
+        bx_ms = marginal_kernel_ms(batched_xla, L1=10, L2=110)
+        bp_ms = marginal_kernel_ms(batched_pallas, L1=10, L2=110)
+        gate_dispatch(
+            "batched_linearize",
+            "unary_xla_vmapped",
+            {"unary_xla_vmapped": bx_ms, "unary_pallas_batched": bp_ms},
+        )
+
         report["dispatch"] = {
             "single_scan_linearize": "moments_fused Pallas kernel behind "
             "vgicp_scan_linearize (table_probe sum-select; latency-bound regime)",
-            "batched_registration": "linearize_vgicp_unary_xla + probe_moments "
-            "matmul slot-select inside registration/pyramid.py (throughput regime: "
-            "the batch axis keeps the VPU dense; vmapped Pallas measured 3.98 ms vs "
-            "3.31 ms per B=64 iteration, round 4)",
+            "batched_registration": "linearize_vgicp_unary_xla (weighted) + "
+            "probe_moments matmul slot-select over SOURCE CLUSTERS inside "
+            "registration/cluster.py (throughput regime: the batch axis keeps "
+            "the VPU dense; gated against the batched Pallas unary kernel by "
+            "dispatch_batched_linearize_matches_winner above)",
+            "error_path": "XLA planar (transform + weighted_error, fully "
+            "fused by XLA). The dedicated Pallas error kernel was RETIRED in "
+            "round 5: it measured speedup 0.96x vs this path (r4 "
+            "perf_error_fused_vs_xla_fallback) — win-or-delete per VERDICT "
+            "r4 item 7.",
         }
 
     report["all_ok"] = ok_all
