@@ -16,15 +16,19 @@ own convergence below).
 
 Measurements:
 1. vgicp_registration_frames_per_s — B independent scan-to-map VGICP
-   registrations run as ONE vmapped jitted program (round-4 coarse-to-fine
-   GN STRIDE PYRAMID, registration/pyramid.py DEFAULT_STAGES: 2 iters
-   @ leaf 4.0 on a stride-8 source subset, then leaf-1.0 refinement down
-   the stride ladder 4 -> 2 -> 1; per-iteration probes with the matmul
-   slot-select; unary linearize). Both the TPU and the CPU baseline
-   converge from the same +-0.1-twist inits; the 24-seed sweep worst lane
-   is 0.019 m vs GT (reference bounds 0.15 m / 0.015 rad).
-   quality_frames_per_s reports the QUALITY_STAGES schedule (0.008 m worst
-   lane). vs_baseline divides by the MEASURED CPU registration rate
+   registrations run as ONE vmapped jitted program (round-5 SOURCE-CLUSTER
+   GN pyramid, registration/cluster.py DEFAULT_CLUSTER_STAGES: the scan is
+   aggregated per leaf-1.0 cell once in preprocessing and each GN
+   iteration probes ~5.2k weighted cluster records instead of 25k points;
+   3 basin-capture iters @ leaf 4.0 on stride-4 clusters, then leaf-1.0
+   refinement at stride 2 -> 1; matmul slot-select probes; weighted unary
+   linearize; unrolled 6x6 Cholesky solve). Both the TPU and the CPU
+   baseline converge from the same +-0.1-twist inits; the 1024-seed
+   robustness sweep worst lane is 0.0053 m / 0.00043 rad vs GT (reference
+   bounds 0.15 m / 0.015 rad).
+   quality_frames_per_s reports QUALITY_CLUSTER_STAGES (one extra
+   full-resolution probe round). vs_baseline divides by the MEASURED CPU
+   registration rate
    (REF_BASELINE.json, cov workload, best thread count). If the batch does
    not converge to ground truth within the reference accuracy bounds
    (rot < 0.015 rad, trans < 0.15 m — test_matching_cost_factors.cpp:227),
@@ -131,29 +135,41 @@ def main():
     mask = source.mask
 
     # ---- 1) batched registration throughput ------------------------------
-    # Coarse-to-fine Gauss-Newton STRIDE PYRAMID (round 4): a ±0.1 twist
-    # moves far points by meters, so 2 iterations against a leaf-4.0 map
-    # (stride-8 source subset) convexify the basin, then leaf-1.0
-    # refinement walks the source stride ladder 4 -> 2 -> 1. Probes are
-    # per-iteration (stage-frozen caching measurably biases the optimum),
-    # the slot-select runs as 0/1 matmuls, and the GN block comes from the
-    # unary (source-block-only) linearize. Chosen by an on-device sweep
-    # (24 seeds x B=64): worst lane 0.019 m / 0.0007 rad vs ground truth
-    # (reference bounds 0.15 m / 0.015 rad). QUALITY_STAGES (reported
-    # below) converges to 0.008 m at ~60% of the throughput.
+    # SOURCE-CLUSTER coarse-to-fine GN pyramid (round 5): the source scan is
+    # aggregated per voxel cell ONCE in preprocessing (pose-independent —
+    # centroid, fused covariance, weight = count; registration/cluster.py),
+    # and every GN iteration probes ~5.2k cluster records instead of 25k
+    # points (the probe costs per-GATHER, and points sharing a cell
+    # re-gathered the same record ~5x). The 6x6 GN solve is the unrolled
+    # straight-line Cholesky (utils/solve6.py). Schedule chosen by the
+    # round-5 ROBUSTNESS sweep (1024 random inits): DEFAULT_CLUSTER_STAGES
+    # = 3 iters @ leaf 4.0 on stride-4 clusters (the 3rd coarse iteration
+    # is what makes every-init basin capture reliable), then leaf-1.0
+    # refinement at stride 2 -> 1; worst lane 0.0053 m / 0.00043 rad
+    # (reference bounds 0.15 m / 0.015 rad). QUALITY preset adds one more
+    # full-resolution probe round.
     B = 64
     from gtsam_points_tpu.registration import (
-        QUALITY_STAGES, build_pyramid, register_scan_pyramid)
+        DEFAULT_CLUSTER_CAPACITY, DEFAULT_CLUSTER_LEAF, DEFAULT_CLUSTER_STAGES,
+        QUALITY_CLUSTER_STAGES, build_pyramid, cluster_source,
+        register_clusters_pyramid)
 
-    # library path: registration/pyramid.py DEFAULT_STAGES; the fine-level
-    # map is the `vmap` the linearize race below uses
-    maps = jax.jit(lambda f: build_pyramid(f))(target)
+    # preprocessing product (outside the timed chain, like the per-point
+    # covariances): one sort + segment-add per frame
+    clusters = jax.jit(
+        lambda s: cluster_source(s, DEFAULT_CLUSTER_LEAF, DEFAULT_CLUSTER_CAPACITY)
+    )(source)
+    maps = jax.jit(lambda f: build_pyramid(f, DEFAULT_CLUSTER_STAGES))(target)
     batched_register = jax.jit(
-        jax.vmap(lambda T0: register_scan_pyramid(maps, source, T0))
+        jax.vmap(lambda T0: register_clusters_pyramid(maps, clusters, T0))
     )
-    maps_q = jax.jit(lambda f: build_pyramid(f, QUALITY_STAGES))(target)
+    maps_q = jax.jit(lambda f: build_pyramid(f, QUALITY_CLUSTER_STAGES))(target)
     batched_register_q = jax.jit(
-        jax.vmap(lambda T0: register_scan_pyramid(maps_q, source, T0, QUALITY_STAGES))
+        jax.vmap(
+            lambda T0: register_clusters_pyramid(
+                maps_q, clusters, T0, QUALITY_CLUSTER_STAGES
+            )
+        )
     )
 
     rng = np.random.RandomState(0)
@@ -171,41 +187,54 @@ def main():
 
     _salt = [0]
 
-    def reg_chain(K):
+    def make_reg_chain(reg_fn):
         """K back-to-back batched registrations, one final FULL fetch. Each
         element re-registers from the ORIGINAL perturbed inits plus a
-        VALUE-SIGNIFICANT salt (1e-4 m translation — far below the 0.019 m
-        accuracy scale but well above f32 rounding, unique per element and
-        per trial) plus a dependency on the previous output, so the chain is
+        VALUE-SIGNIFICANT salt (1e-4 m translation — far below the accuracy
+        scale but well above f32 rounding, unique per element and per
+        trial) plus a dependency on the previous output, so the chain is
         sequential and no element is bitwise-repeatable — see the REPLAY
-        HAZARD note in utils/benchtime.py. Chaining converged poses directly
-        would measure re-registration of already-converged poses, not the
-        real from-init workload."""
-        cur = T0s
-        for _ in range(K):
-            _salt[0] += 1
-            T_in = T0s.at[:, :3, 3].add(_salt[0] * 1e-4 + 1e-9 * cur[:, :3, 3])
-            cur = batched_register(T_in)
-        float(jnp.sum(cur))
+        HAZARD note in utils/benchtime.py. Chaining converged poses
+        directly would measure re-registration of already-converged poses,
+        not the real from-init workload."""
 
-    marginal_s, raw_s = chain_marginal(reg_chain, 2, 6, trials=3)
-    frames_per_s = B / marginal_s
-    raw_frames_per_s = B / raw_s
+        def chain(K):
+            cur = T0s
+            for _ in range(K):
+                _salt[0] += 1
+                T_in = T0s.at[:, :3, 3].add(_salt[0] * 1e-4 + 1e-9 * cur[:, :3, 3])
+                cur = reg_fn(T_in)
+            float(jnp.sum(cur))
 
-    # quality preset: same protocol, QUALITY_STAGES schedule
+        return chain
+
+    def measure_reg(reg_fn, repeats=5):
+        """At cluster speeds one batch is ~5 ms, so chains are longer
+        (K 4->12) and the measurement repeats 5x with the headline = median
+        and the spread published (round-5: identical compiled programs
+        showed >2x run-to-run tunnel variance at short chains)."""
+        chain = make_reg_chain(reg_fn)
+        runs, raws = [], []
+        for _ in range(repeats):
+            m, r = chain_marginal(chain, 4, 12, trials=3)
+            runs.append(m)
+            raws.append(r)
+        runs.sort()
+        med = runs[len(runs) // 2]
+        spread = {
+            "min_fps": round(B / runs[-1], 1),
+            "max_fps": round(B / runs[0], 1),
+            "spread_pct": round(100.0 * (runs[-1] - runs[0]) / max(med, 1e-12), 1),
+            "runs": repeats,
+        }
+        return B / med, B / (sorted(raws)[len(raws) // 2]), spread
+
+    frames_per_s, raw_frames_per_s, reg_spread = measure_reg(batched_register)
+
+    # quality preset: same protocol, QUALITY_CLUSTER_STAGES schedule
     Ts_q = batched_register_q(T0s)
     rot_q, trans_q = jax.vmap(lambda T: se3.pose_error(T, T_rel))(Ts_q)
-
-    def reg_chain_q(K):
-        cur = T0s
-        for _ in range(K):
-            _salt[0] += 1
-            T_in = T0s.at[:, :3, 3].add(_salt[0] * 1e-4 + 1e-9 * cur[:, :3, 3])
-            cur = batched_register_q(T_in)
-        float(jnp.sum(cur))
-
-    marginal_q, _ = chain_marginal(reg_chain_q, 2, 6, trials=3)
-    quality_frames_per_s = B / marginal_q
+    quality_frames_per_s, _, _ = measure_reg(batched_register_q, repeats=3)
 
     # ---- 2) single-scan linearize latency: RACE the candidate paths -----
     def lin_moments(T):
@@ -336,9 +365,12 @@ def main():
     # gather out N*512 + select passes ~2*N*512 + kernel rows ~80 B/pt)
     lin_bytes = cap * (512 * 4 + 80)
     lin_eff_gbps = lin_bytes / (ms_per_scan / 1e3) / 1e9
-    # registration: points probed per frame across the stride ladder
-    from gtsam_points_tpu.registration import DEFAULT_STAGES
-    probes_per_frame = sum(st.iters * cap // st.stride for st in DEFAULT_STAGES)
+    # registration: cluster records probed per frame across the stride
+    # ladder (the dedup moved the floor itself: fewer rows to gather)
+    probes_per_frame = sum(
+        st.iters * (DEFAULT_CLUSTER_CAPACITY // st.stride)
+        for st in DEFAULT_CLUSTER_STAGES
+    )
     reg_gather_floor_s = probes_per_frame * ns_per_gather / 1e9
     roofline = {
         "ns_per_row_gather_measured": round(ns_per_gather, 2),
@@ -374,6 +406,12 @@ def main():
                 },
                 "raw_frames_per_s": round(raw_frames_per_s, 2),
                 "raw_vs_baseline": round(raw_frames_per_s / ref_frames_per_s, 2) if converged else 0.0,
+                "registration_spread": reg_spread,
+                "registration_path": "source-cluster GN pyramid "
+                "(registration/cluster.py DEFAULT_CLUSTER_STAGES; clusters = "
+                f"leaf-{DEFAULT_CLUSTER_LEAF} per-cell aggregation, capacity "
+                f"{DEFAULT_CLUSTER_CAPACITY}, built once per frame in "
+                "preprocessing alongside covariances)",
                 "linearize_ms_per_scan": round(ms_per_scan, 4),
                 "linearize_vs_baseline": round(ref["linearize_ms"] / ms_per_scan, 2),
                 "raw_linearize_ms_per_scan": round(raw_ms_per_scan, 4),

@@ -521,24 +521,37 @@ def insert_frame_incremental(
     then run the structural `insert_frame`, which LRU-evicts; appended rows
     past capacity are dropped here).
     """
-    cap = vmap.capacity
-    epoch = vmap.epoch + 1
     n = frame.points.shape[0]
     ucap = scan_cells_capacity if scan_cells_capacity is not None else n
+    keys = vk.point_keys(frame.points, frame.mask, vmap.leaf)
+    rows = point_moments(
+        frame.points, frame.covs, frame.mask.astype(jnp.float32), frame.intensities
+    )
+    return insert_rows_incremental(vmap, keys, rows, ucap)
 
-    # ---- 0) per-voxel pre-aggregation: the ONLY scan-row-sized ops are one
+
+def insert_rows_incremental(
+    vmap: GaussianVoxelMap, keys: jax.Array, rows: jax.Array, ucap: int
+):
+    """Core of the incremental insert: merge arbitrary per-row moment
+    contributions ([M] keys, [M, 16] moment rows — per-point rows from
+    insert_frame_incremental, or per-CLUSTER rows from
+    insert_clusters_incremental where M is ~5x smaller and the dominating
+    key sort shrinks with it). `ucap` (STATIC) bounds distinct keys per
+    call. -> (new_vmap, overflow)."""
+    cap = vmap.capacity
+    epoch = vmap.epoch + 1
+
+    # ---- 0) per-voxel pre-aggregation: the ONLY input-row-sized ops are one
     # key sort, one moment-row gather, and two compaction scatters; all map
     # and table updates below run at ucap rows.
-    keys = vk.point_keys(frame.points, frame.mask, vmap.leaf)
     order = jnp.argsort(keys)
     skeys = keys[order]
     valid = skeys != vk.INVALID_KEY
     is_new = valid & jnp.concatenate([jnp.ones((1,), bool), skeys[1:] != skeys[:-1]])
-    seg = jnp.cumsum(is_new.astype(jnp.int32)) - 1  # unique-cell id per point
+    seg = jnp.cumsum(is_new.astype(jnp.int32)) - 1  # unique-cell id per row
     num_unique = jnp.maximum(seg[-1] + 1, 0)
-    rows_mom = point_moments(
-        frame.points, frame.covs, frame.mask.astype(jnp.float32), frame.intensities
-    )[order]
+    rows_mom = rows[order]
     uslot = jnp.where(valid, jnp.minimum(seg, ucap), ucap)
     umom = jnp.zeros((ucap + 1, _MOM_LANES), jnp.float32).at[uslot].add(rows_mom)[:ucap]
     ukeys = jnp.full((ucap + 1,), vk.INVALID_KEY, jnp.int32).at[

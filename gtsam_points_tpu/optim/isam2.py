@@ -404,9 +404,15 @@ class ISAM2Ext:
             priors.append((keys[0], self.estimates[keys[0]], np.full(6, 1e6, np.float32)))
 
         def pad(n, mult=8):
-            return -(-n // mult) * mult
+            # GEOMETRIC buckets (round 5): a 1000-pose session closes loops at
+            # many distinct sizes; multiple-of-8 padding compiled a fresh
+            # O(P+E) relax program per closure, so compile count grew with
+            # session length. Power-of-two buckets reuse one program per
+            # doubling (padded poses carry zero-info edges / zero-weight
+            # priors and a zero gradient, so LM leaves them at identity).
+            return max(mult, 1 << (n - 1).bit_length())
 
-        E, Q, P = pad(len(edges)), pad(len(priors)), len(keys)
+        E, Q, P = pad(len(edges)), pad(len(priors)), pad(len(keys))
         eye = np.eye(4, dtype=np.float32)
         measured = np.stack([e[2] for e in edges] + [eye] * (E - len(edges)))
         e_info = np.stack([e[3] for e in edges] + [np.zeros((6, 6), np.float32)] * (E - len(edges)))
@@ -433,7 +439,9 @@ class ISAM2Ext:
             prior_idx=jnp.asarray(prior_idx),
             info=jnp.asarray(e_info),
         )
-        poses0 = jnp.asarray(np.stack([self.estimates[k] for k in keys]))
+        poses0 = jnp.asarray(
+            np.stack([self.estimates[k] for k in keys] + [eye] * (P - len(keys)))
+        )
         res = fn(pg, poses0)
         new_poses = np.asarray(res.poses)
         if not np.all(np.isfinite(new_poses)):

@@ -42,6 +42,7 @@ import jax.numpy as jnp
 
 from gtsam_points_tpu.ops import voxel_keys as vk
 from gtsam_points_tpu.ops.voxelmap import GaussianVoxelMap, _scan_moments
+from gtsam_points_tpu.registration.pyramid import PyramidStage
 from gtsam_points_tpu.types.frame import Frame
 from gtsam_points_tpu.utils import se3
 from gtsam_points_tpu.utils.solve6 import solve6
@@ -81,12 +82,44 @@ class SourceClusters(NamedTuple):
         )
 
 
+# Robust coarse-to-fine cluster schedule, chosen by the round-5 on-device
+# robustness sweep (1024 random +-0.1-twist inits x kitti_07 protocol on
+# v5e): worst lane 0.0053 m / 0.00043 rad at ~8400 frames/s/chip. The THIRD
+# leaf-4.0 iteration is what buys robustness — with only two, ~1 in 500
+# inits leaves a lane at ~0.1-0.2 m (basin capture, not refinement, is the
+# binding constraint). Cluster leaf 1.0, capacity 5632 (a 25k-point kitti
+# scan occupies ~5.2k leaf-1.0 cells).
+DEFAULT_CLUSTER_STAGES = (
+    PyramidStage(4.0, 3, stride=4),
+    PyramidStage(1.0, 2, stride=2),
+    PyramidStage(1.0, 2, stride=1),
+)
+
+# Quality preset: one extra fine probe round on the full cluster set.
+QUALITY_CLUSTER_STAGES = (
+    PyramidStage(4.0, 3, stride=4),
+    PyramidStage(1.0, 2, stride=2),
+    PyramidStage(1.0, 3, stride=1),
+)
+
+DEFAULT_CLUSTER_LEAF = 1.0
+DEFAULT_CLUSTER_CAPACITY = 5632
+
+
 def cluster_source(source: Frame, leaf: float, capacity: int) -> SourceClusters:
     """Aggregate `source` into per-voxel clusters at `leaf` (one sort +
     segment-add, the same machinery as the voxel map build;
     ops/voxelmap._scan_moments). `capacity` is static; cells beyond it
     (highest packed keys) are dropped — size it generously (a 25k-point
-    kitti scan occupies ~5.2k leaf-1.0 cells)."""
+    kitti scan occupies ~5.2k leaf-1.0 cells).
+
+    The returned covariances are the EXACT raw cluster moments (no
+    regularization) so insert_clusters_incremental reproduces the per-point
+    map bit-for-bit on within-voxel clusters; register_clusters_pyramid
+    adds its own eps when weighting (a single-point cluster of a covless
+    frame has exactly-zero scatter, and the weighted linearize applies no
+    eps of its own when src_covs6 is given — NaN poses otherwise, round-5
+    finding)."""
     keys, mom = _scan_moments(source, jnp.float32(leaf), capacity)
     mask = keys != vk.INVALID_KEY
     cnt = mom[:, 0]
@@ -112,18 +145,60 @@ def cluster_source(source: Frame, leaf: float, capacity: int) -> SourceClusters:
     )
 
 
+def insert_clusters_incremental(vmap: GaussianVoxelMap, clusters: SourceClusters, T):
+    """Streaming map insert from PRE-CLUSTERED scan moments: transform each
+    cluster's raw moments to the world frame EXACTLY under T
+    (s1' = n·mu_w; S2' = n·(R C R^T + mu_w mu_w^T) — the parallel-axis
+    identity, no approximation) and merge them through the incremental
+    insert core. The dominating cost of the per-point insert is the scan
+    key SORT (measured 3.7 of 3.9 ms at 25k points on v5e, round 5); this
+    path sorts cluster keys instead (~5.6k rows), reusing the clustering
+    already computed once per scan in preprocessing for registration.
+
+    Intensity moments are not carried by SourceClusters; maps fed only
+    through this path have zero per-voxel intensity. Reference analogue:
+    the per-voxel accumulation before map update in
+    types/gaussian_voxelmap_gpu.cu:211-307.
+
+    -> (new_vmap, overflow), same contract as insert_frame_incremental."""
+    from gtsam_points_tpu.ops import planar
+    from gtsam_points_tpu.ops.voxelmap import _MOM_LANES, insert_rows_incremental
+
+    R = T[:3, :3]
+    mu_w = planar.transform(T, clusters.pts_p)  # [3, C]
+    n = jnp.where(clusters.mask, clusters.weight, 0.0)  # [C]
+    cw6 = planar.sym_rotate(R, clusters.covs6)  # [6, C]
+    m0, m1, m2 = mu_w[0], mu_w[1], mu_w[2]
+    s2 = jnp.stack(
+        [
+            cw6[0] + m0 * m0, cw6[1] + m0 * m1, cw6[2] + m0 * m2,
+            cw6[3] + m1 * m1, cw6[4] + m1 * m2, cw6[5] + m2 * m2,
+        ]
+    )  # [6, C]
+    C = clusters.capacity
+    rows = jnp.zeros((C, _MOM_LANES), jnp.float32)
+    rows = rows.at[:, 0].set(n)
+    rows = rows.at[:, 1:4].set((n[None, :] * mu_w).T)
+    rows = rows.at[:, 4:10].set((n[None, :] * s2).T)
+    keys = vk.point_keys_planar(mu_w, clusters.mask, vmap.leaf)
+    return insert_rows_incremental(vmap, keys, rows, C)
+
+
 def register_clusters_pyramid(
     maps: Sequence[GaussianVoxelMap],
     clusters: SourceClusters,
     T0: jax.Array,
-    stages: Sequence,
+    stages: Sequence = DEFAULT_CLUSTER_STAGES,
     min_voxel_points: float = 1.0,
     damping: float = 1e-6,
+    eps: float = 1e-3,
 ) -> jax.Array:
     """Coarse-to-fine GN registration of source CLUSTERS against the map
     pyramid — the dedup analogue of pyramid.register_scan_pyramid (same
-    stage schema; `stride` strides clusters instead of points). Fully
-    jittable/vmappable. -> refined T [4,4]."""
+    stage schema; `stride` strides clusters instead of points). `eps`
+    regularizes the cluster covariance diagonal (clusters carry EXACT raw
+    moments; a single-point cluster of a covless frame is otherwise
+    singular). Fully jittable/vmappable. -> refined T [4,4]."""
     from gtsam_points_tpu.ops.pallas_linearize import (
         linearize_vgicp_unary_xla,
         probe_moments,
@@ -131,6 +206,8 @@ def register_clusters_pyramid(
     from gtsam_points_tpu.registration.pyramid import _norm_stages
 
     stages = _norm_stages(stages)
+    eye6 = jnp.asarray([1.0, 0.0, 0.0, 1.0, 0.0, 1.0], jnp.float32) * eps
+    clusters = clusters._replace(covs6=clusters.covs6 + eye6[:, None])
     T = T0
     for vm, st in zip(maps, stages):
         cl = clusters.strided(st.stride)

@@ -20,38 +20,52 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
-def solve6(H, b):
-    """Solve H x = b for SPD H [..., 6, 6], b [..., 6] -> x [..., 6].
+UNROLL_MAX = 18  # beyond ~3 pose blocks the op-count (~n^3/3) stops paying
 
-    Unrolled Cholesky H = L L^T, then forward/back substitution. Batch
-    dims broadcast elementwise; no lax loops, no triangular-solve kernels."""
-    a = [[H[..., i, j] for j in range(6)] for i in range(6)]
-    L = [[None] * 6 for _ in range(6)]
-    inv_d = [None] * 6
-    for j in range(6):
+
+def solve_small(H, b):
+    """Solve H x = b for SPD H [..., n, n], b [..., n] -> x [..., n], with
+    the Cholesky fully unrolled for static n <= UNROLL_MAX (straight-line
+    elementwise ops, batch dims broadcast on the VPU). Falls back to
+    jax.scipy cho_solve for larger n, where the unrolled op count stops
+    being profitable and compile time grows cubically."""
+    n = H.shape[-1]
+    if n > UNROLL_MAX:
+        import jax.scipy.linalg as jsl
+
+        return jsl.cho_solve(jsl.cho_factor(H, lower=True), b)
+    a = [[H[..., i, j] for j in range(n)] for i in range(n)]
+    L = [[None] * n for _ in range(n)]
+    inv_d = [None] * n
+    for j in range(n):
         s = a[j][j]
         for k in range(j):
             s = s - L[j][k] * L[j][k]
         d = jnp.sqrt(jnp.maximum(s, 1e-30))
         L[j][j] = d
         inv_d[j] = 1.0 / d
-        for i in range(j + 1, 6):
+        for i in range(j + 1, n):
             s = a[i][j]
             for k in range(j):
                 s = s - L[i][k] * L[j][k]
             L[i][j] = s * inv_d[j]
     # forward: L y = b
-    y = [None] * 6
-    for i in range(6):
+    y = [None] * n
+    for i in range(n):
         s = b[..., i]
         for k in range(i):
             s = s - L[i][k] * y[k]
         y[i] = s * inv_d[i]
     # back: L^T x = y
-    x = [None] * 6
-    for i in range(5, -1, -1):
+    x = [None] * n
+    for i in range(n - 1, -1, -1):
         s = y[i]
-        for k in range(i + 1, 6):
+        for k in range(i + 1, n):
             s = s - L[k][i] * x[k]
         x[i] = s * inv_d[i]
     return jnp.stack(x, axis=-1)
+
+
+def solve6(H, b):
+    """6x6 alias of solve_small (the registration GN hot path)."""
+    return solve_small(H, b)

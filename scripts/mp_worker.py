@@ -140,6 +140,64 @@ def main():
     relck("H_ss_match", lin_sh.H_ss, ref.H_ss, 5e-3)
     relck("b_t_match", lin_sh.b_t, ref.b_t, 5e-3)
 
+    # ---- MEASURED cross-host psum overhead (VERDICT r4 item 4) ----------
+    # Marginal per-iteration cost of the HOST leg of the hierarchical psum:
+    # identical shard-local compute + chip-axis psum, with vs without the
+    # cross-process (gloo) host reduction, chained K1/K2 and differenced.
+    # This is the live-cluster stand-in for the DCN term of the
+    # docs/DISTRIBUTED.md scaling model (gloo loopback on one machine — a
+    # latency floor for the software path, not a 2-host DCN measurement;
+    # the doc's DCN envelope stays the published figure).
+    import time as _time
+
+    from jax.sharding import PartitionSpec as _P
+
+    payload = jnp.asarray(np.random.RandomState(3).randn(8, 128).astype(np.float32))
+
+    def make_loop(axes, K):
+        """K data-dependent psums inside ONE dispatch (per-element host
+        dispatches on a live 2-process cluster cost ~100 ms of coordination
+        each and drown the collective being measured)."""
+
+        def local(x):  # [1, 128] per device, varying over both axes
+            def body(i, y):
+                r = jax.lax.psum(y * 1.0001 + 1e-6, axes)
+                return y + r * 1e-9
+
+            return jax.lax.fori_loop(0, K, body, x)
+
+        return jax.jit(
+            jax.shard_map(local, mesh=mesh,
+                          in_specs=_P(("host", "chip")),
+                          out_specs=_P(("host", "chip")))
+        )
+
+    def marginal_ms(axes, k1=10, k2=110, trials=3):
+        loops = {k: make_loop(axes, k) for k in (k1, k2)}
+        for lp in loops.values():
+            jax.block_until_ready(lp(payload))
+
+        def t(k):
+            ts = []
+            for trial in range(trials):
+                t0 = _time.perf_counter()
+                jax.block_until_ready(loops[k](payload + trial * 1e-3))
+                ts.append(_time.perf_counter() - t0)
+            return sorted(ts)[len(ts) // 2]
+
+        return (t(k2) - t(k1)) / (k2 - k1) * 1e3
+
+    full_ms = marginal_ms(("host", "chip"))
+    chip_ms = marginal_ms(("chip",))
+    report["mp_psum_overhead_ms"] = {
+        "hierarchical_psum_ms": round(full_ms, 4),
+        "chip_only_psum_ms": round(chip_ms, 4),
+        "cross_host_leg_ms": round(max(full_ms - chip_ms, 0.0), 4),
+        "payload_bytes": int(payload.size * 4),
+        "note": "2-process gloo on one machine: software-path latency floor "
+        "for the host reduction, not a DCN wire measurement",
+    }
+
     report["all_ok"] = all(c["ok"] for c in report["checks"].values())
     with open(out_path, "w") as f:
         json.dump(report, f, indent=1)

@@ -75,3 +75,10 @@ def test_two_process_sharded_linearize(tmp_path):
         assert r["checks"]["mesh_rows_one_host_each"]["ok"], r["checks"][
             "mesh_rows_one_host_each"
         ]
+
+    # measured cross-host psum overhead (VERDICT r4 item 4): persist process
+    # 0's measurement as a repo-root artifact row for the scaling model
+    m = reports[0].get("mp_psum_overhead_ms")
+    assert m is not None and m["hierarchical_psum_ms"] > 0.0
+    with open(os.path.join(REPO, "MP_PSUM_OVERHEAD.json"), "w") as f:
+        json.dump(m, f, indent=1)
