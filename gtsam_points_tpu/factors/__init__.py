@@ -1,7 +1,7 @@
 from gtsam_points_tpu.factors.linearized import Linearized
 from gtsam_points_tpu.factors.icp import ICPFactor, make_icp_factor
 from gtsam_points_tpu.factors.gicp import GICPFactor, make_gicp_factor
-from gtsam_points_tpu.factors.vgicp import VGICPFactor, make_vgicp_factor
+from gtsam_points_tpu.factors.vgicp import (VGICPClustersFactor, VGICPFactor, make_vgicp_clusters_factor, make_vgicp_factor)
 from gtsam_points_tpu.factors.pose_factors import PriorFactor, BetweenFactor, LinearDampingFactor
 from gtsam_points_tpu.factors.batch import VGICPFactorBatch, make_vgicp_factor_batch
 from gtsam_points_tpu.factors.loam import (
@@ -53,7 +53,9 @@ __all__ = [
     "GICPFactor",
     "make_gicp_factor",
     "VGICPFactor",
+    "VGICPClustersFactor",
     "make_vgicp_factor",
+    "make_vgicp_clusters_factor",
     "PriorFactor",
     "BetweenFactor",
     "LinearDampingFactor",

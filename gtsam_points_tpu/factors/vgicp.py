@@ -162,3 +162,124 @@ register_factor(
     data_fields=["voxelmap", "source", "fixed_target_pose"],
     meta_fields=["target_key", "source_key", "min_voxel_points"],
 )
+
+
+@dataclasses.dataclass(frozen=True)
+class VGICPClustersFactor(MatchingFactorMixin):
+    """VGICP whose SOURCE is a pre-clustered scan (registration/cluster.py
+    SourceClusters): correspondence is one probe of ~5k weighted cluster
+    records instead of 25k points, and the linearize/error are the weighted
+    unary path — the single-stream latency analogue of the batched cluster
+    pyramid (the LM loop probes per outer iteration and error-evals per
+    lambda candidate, so the 5x probe/eval shrink compounds).
+
+    Source-block-only (the target pose must be FIXED: target_key = -1 with
+    fixed_target_pose, the scan-to-map odometry shape — reference analogue:
+    the unary use of IntegratedVGICPFactor in scan-to-map odometry,
+    example/advanced_scan_matching.cpp). `clusters` carry exact raw moments;
+    `eps` regularizes their covariance diagonal exactly as
+    register_clusters_pyramid does."""
+
+    voxelmap: GaussianVoxelMap
+    clusters: object  # registration.cluster.SourceClusters
+    fixed_target_pose: jax.Array
+    target_key: int
+    source_key: int
+    min_voxel_points: float
+    eps: float = 1e-3
+
+    def _cl_covs6(self):
+        eye6 = jnp.asarray([1.0, 0.0, 0.0, 1.0, 0.0, 1.0], jnp.float32) * self.eps
+        return self.clusters.covs6 + eye6[:, None]
+
+    def correspondences(self, poses: jax.Array):
+        from gtsam_points_tpu.factors.base import factor_poses
+        from gtsam_points_tpu.ops.pallas_linearize import probe_moments
+
+        T_t, T_s = factor_poses(self, poses)
+        delta = se3.se3_inverse(T_t) @ T_s
+        momT, found = probe_moments(
+            self.voxelmap, self.clusters.pts_p, self.clusters.mask, delta
+        )
+        return momT, found
+
+    def linearize_corr(self, poses: jax.Array, corr):
+        from gtsam_points_tpu.factors.base import factor_poses
+        from gtsam_points_tpu.ops.pallas_linearize import (
+            linearize_vgicp_unary_xla,
+            vgicp_unary_error_xla,
+        )
+
+        momT, found = corr
+        T_t, T_s = factor_poses(self, poses)
+        delta = se3.se3_inverse(T_t) @ T_s
+        covs6 = self._cl_covs6()
+        lin = linearize_vgicp_unary_xla(
+            self.clusters.pts_p, momT, found, delta, self.min_voxel_points,
+            src_covs6=covs6, weights=self.clusters.weight,
+        )
+
+        def err_fn(new_poses):
+            nT_t, nT_s = factor_poses(self, new_poses)
+            nd = se3.se3_inverse(nT_t) @ nT_s
+            err, _ = vgicp_unary_error_xla(
+                self.clusters.pts_p, momT, found, nd, self.min_voxel_points,
+                src_covs6=covs6, weights=self.clusters.weight,
+            )
+            return err
+
+        return lin, err_fn
+
+    def linearize(self, poses: jax.Array):
+        lin, _ = self.linearize_corr(poses, self.correspondences(poses))
+        return lin
+
+    def linearize_with_error_fn(self, poses: jax.Array):
+        return self.linearize_corr(poses, self.correspondences(poses))
+
+    def error(self, poses: jax.Array):
+        from gtsam_points_tpu.factors.base import factor_poses
+        from gtsam_points_tpu.ops.pallas_linearize import vgicp_unary_error_xla
+
+        momT, found = self.correspondences(poses)
+        T_t, T_s = factor_poses(self, poses)
+        delta = se3.se3_inverse(T_t) @ T_s
+        err, _ = vgicp_unary_error_xla(
+            self.clusters.pts_p, momT, found, delta, self.min_voxel_points,
+            src_covs6=self._cl_covs6(), weights=self.clusters.weight,
+        )
+        return err
+
+
+def make_vgicp_clusters_factor(
+    target_key: int,
+    source_key: int,
+    target,
+    clusters,
+    voxel_resolution: float = 1.0,
+    min_voxel_points: float = 5.0,
+    fixed_target_pose: Optional[jax.Array] = None,
+) -> VGICPClustersFactor:
+    """`target` may be a Frame (voxelmap built here) or a GaussianVoxelMap;
+    `clusters` from registration.cluster.cluster_source (sensor frame)."""
+    if isinstance(target, GaussianVoxelMap):
+        vmap = target
+    else:
+        vmap = build_voxelmap(target, voxel_resolution)
+    if fixed_target_pose is None:
+        fixed_target_pose = jnp.eye(4, dtype=jnp.float32)
+    return VGICPClustersFactor(
+        voxelmap=vmap,
+        clusters=clusters,
+        fixed_target_pose=fixed_target_pose,
+        target_key=target_key,
+        source_key=source_key,
+        min_voxel_points=min_voxel_points,
+    )
+
+
+register_factor(
+    VGICPClustersFactor,
+    data_fields=["voxelmap", "clusters", "fixed_target_pose"],
+    meta_fields=["target_key", "source_key", "min_voxel_points", "eps"],
+)

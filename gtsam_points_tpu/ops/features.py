@@ -52,7 +52,16 @@ def estimate_normals_covs(
     """Estimate normals + regularized covariances in one kNN pass (the fused
     path the reference exposes as estimate_normals_covs). Normals are oriented
     toward `view_point` (default origin = sensor), matching the reference's
-    viewpoint sign disambiguation."""
+    viewpoint sign disambiguation.
+
+    PREPROCESSING DEFAULT (round 5): prefer estimate_normals_covs_moments —
+    ~2x faster on TPU (segment sums + one per-cell eigh instead of per-point
+    kNN gathers) and registration-accuracy-par on the kitti_07 protocol
+    (bench_suite covariance_path_accuracy_parity row; also
+    tests/test_data_convergence.py::test_kitti07_gicp_graph_moments_covs).
+    Use this kNN path when per-point fidelity of the covariances themselves
+    matters (e.g. feature extraction research), not for registration
+    preprocessing."""
     if grid is None:
         grid = build_hash_grid(frame.points, frame.mask, grid_leaf)
     nn_idx, _, nn_valid = knn_search(

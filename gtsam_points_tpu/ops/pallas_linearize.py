@@ -1004,6 +1004,47 @@ def linearize_vgicp_unary_xla(
     return _unpack_unary(jnp.concatenate([col, jnp.zeros((3,), col.dtype)]))
 
 
+def vgicp_unary_error_xla(
+    p_src, momT, found, delta, min_voxel_points, eps=1e-3, src_covs6=None,
+    weights=None,
+):
+    """Weighted VGICP error sum on FROZEN moment rows — the candidate-eval
+    half of the unary path (same residual/weight math as
+    linearize_vgicp_unary_xla with the Jacobian/Hessian rows dropped; the
+    LM inner loop calls this per lambda candidate, so computing the full
+    29-row block there would double the inner-iteration cost). Returns
+    (error, weighted_inlier_count)."""
+    cnt = momT[0]
+    ok = found & (cnt >= min_voxel_points)
+    okf = ok.astype(jnp.float32)
+    if weights is not None:
+        okf = okf * weights
+    safe = jnp.maximum(cnt, 1.0)
+    mu = momT[1:4] / safe
+    mu2 = jnp.stack(
+        [mu[0] * mu[0], mu[0] * mu[1], mu[0] * mu[2], mu[1] * mu[1], mu[1] * mu[2], mu[2] * mu[2]]
+    )
+    ct6 = momT[4:10] / safe - mu2
+    from gtsam_points_tpu.ops import planar as _planar
+
+    R = delta[:3, :3]
+    F = _planar.sym_rotate(R.T, ct6)
+    if src_covs6 is not None:
+        F = F + src_covs6
+    else:
+        eye6 = jnp.asarray([1.0, 0.0, 0.0, 1.0, 0.0, 1.0], F.dtype) * eps
+        F = F + eye6[:, None]
+    A6 = _planar.sym_inv(F) * okf[None, :]
+    axx, axy, axz, ayy, ayz, azz = (A6[i] for i in range(6))
+    d = delta[:3, 3][:, None] - mu
+    rp = p_src + R.T @ d
+    u0 = axx * rp[0] + axy * rp[1] + axz * rp[2]
+    u1 = axy * rp[0] + ayy * rp[1] + ayz * rp[2]
+    u2 = axz * rp[0] + ayz * rp[1] + azz * rp[2]
+    err = u0 * rp[0] + u1 * rp[1] + u2 * rp[2]
+    return jnp.sum(err), jnp.sum(okf)
+
+
 @functools.lru_cache(maxsize=1)
 def _select_mats_np():
     """Constant 0/1 matrices for the matmul slot-select: E [128,128] expands

@@ -562,21 +562,13 @@ def insert_rows_incremental(
     row, found, _, tslot = table_probe(vmap.table, ukeys)
     found = found & uvalid
 
-    # 1) accumulate into existing voxels (unique-cell rows). All scatters
-    # below use mode="drop" with an out-of-bounds sentinel index instead of
-    # the concat-a-sentinel-row idiom: the concats forced full copies of the
+    # 1+2) ONE combined scatter per map array (round 5: TPU scatters carry a
+    # large fixed cost per scatter op, so exist-accumulate and new-append —
+    # which touch DISJOINT rows — share one scatter each). All scatters use
+    # mode="drop" with an out-of-bounds sentinel index instead of the
+    # concat-a-sentinel-row idiom: the concats forced full copies of the
     # map-sized buffers (~50 MB per insert at 131k capacity) before every
     # update, dominating the streaming insert cost.
-    slot_exist = jnp.where(found, row, cap)
-    moments = vmap.moments.at[slot_exist].add(
-        jnp.where(found[:, None], umom, 0.0), mode="drop"
-    )
-    last_seen = vmap.last_seen.at[slot_exist].max(
-        jnp.where(found, epoch, 0), mode="drop"
-    )
-
-    # 2) append new voxels — the unique cells are already deduped, so a
-    # cumsum ranks them straight into contiguous rows
     new_mask = uvalid & jnp.logical_not(found)
     rank_new = jnp.cumsum(new_mask.astype(jnp.int32)) - 1
     num_new = jnp.sum(new_mask.astype(jnp.int32))
@@ -584,11 +576,17 @@ def insert_rows_incremental(
     overflow = ((vmap.num_voxels + num_new) > cap) | (num_unique > ucap)
     dest = jnp.minimum(dest, cap)
 
+    touched = found | new_mask
+    slot_all = jnp.where(found, row, dest)  # exist row | append row | cap (drop)
+    moments = vmap.moments.at[slot_all].add(
+        jnp.where(touched[:, None], umom, 0.0), mode="drop"
+    )
+    last_seen = vmap.last_seen.at[slot_all].max(
+        jnp.where(touched, epoch, 0), mode="drop"
+    )
     new_keys = vmap.keys.at[dest].set(
         jnp.where(new_mask, ukeys, vk.INVALID_KEY), mode="drop"
     )
-    moments = moments.at[dest].add(jnp.where(new_mask[:, None], umom, 0.0), mode="drop")
-    last_seen = last_seen.at[dest].max(jnp.where(new_mask, epoch, 0), mode="drop")
 
     # 3) INCREMENTAL probe-table update (unique-cell-sized work)
     m = vmap.table.shape[0]
@@ -607,28 +605,28 @@ def insert_rows_incremental(
     )
     occ = jnp.sum((k8 != vk.INVALID_KEY).astype(jnp.int32), axis=1)
     flat = vmap.table.reshape(n_slots, _REC_LANES)
-    # 3a) mirror existing-voxel moment deltas into their records (lanes 2:13)
-    delta16 = jnp.concatenate(
-        [jnp.zeros((ucap, 2), jnp.float32), umom[:, :11],
-         jnp.zeros((ucap, _REC_LANES - 13), jnp.float32)], axis=-1
-    )
-    sl = jnp.where(found, tslot, n_slots)
-    flat = flat.at[sl].add(jnp.where(found[:, None], delta16, 0.0), mode="drop")
-    # 3b) append records for the new voxels: sort the new uniques by bucket,
-    # rank within bucket, land at (first-free + rank) of the contiguous tail
-    # (hb2/occ computed above, before the table updates)
+    # existing records and appended records both receive a FULLY-FORMED
+    # record built from the post-update moments, so one scatter-SET serves
+    # both (the previous add-deltas-then-set-appends pair paid two map-table
+    # scatters; an add cannot cover the append because the free tail holds
+    # empty records whose key lane is the INVALID bitcast = NaN). Slot sets
+    # are disjoint: tslot addresses occupied slots, the append lands in the
+    # bucket's free tail at (first-free + within-bucket rank).
     idx = jnp.arange(ucap, dtype=jnp.int32)
     is_first = jnp.concatenate([jnp.ones((1,), bool), hb2[1:] != hb2[:-1]])
     run_start = jax.lax.cummax(jnp.where(is_first, idx, 0))
     rank = idx - run_start
     dest2 = dest[order2]
+    found2 = found[order2]
     ok_new = (hb2 < m) & (occ + rank < _BUCKET_SLOTS) & (dest2 < cap)
     slot_new = jnp.where(ok_new, hb2 * _BUCKET_SLOTS + occ + rank, n_slots)
+    slot_tab = jnp.where(found2, tslot[order2], slot_new)
+    maprow2 = jnp.where(found2, row[order2], dest2)
     recs = _make_records(
-        ukeys[order2], dest2, moments[jnp.minimum(dest2, cap - 1)]
+        ukeys[order2], maprow2, moments[jnp.minimum(maprow2, cap - 1)]
     )
     # invalid entries carry the out-of-bounds sentinel index -> dropped
-    flat = flat.at[slot_new].set(recs, mode="drop")
+    flat = flat.at[slot_tab].set(recs, mode="drop")
     table = flat.reshape(m, _BUCKET_LANES)
 
     out = GaussianVoxelMap(

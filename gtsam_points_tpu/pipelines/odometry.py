@@ -120,7 +120,13 @@ def _full_map_update(vmap, world_frame):
 
 
 @partial(jax.jit, static_argnums=(2,))
-def odometry_step(state: OdometryState, frame: Frame, params: OdometryParams, T_pred_delta=None):
+def odometry_step(
+    state: OdometryState,
+    frame: Frame,
+    params: OdometryParams,
+    T_pred_delta=None,
+    clusters=None,
+):
     """VGICP scan-to-map odometry step -> (new_state, T_world, diagnostics).
 
     ONE jitted program, ZERO host syncs per step: registration, keyframe
@@ -131,19 +137,40 @@ def odometry_step(state: OdometryState, frame: Frame, params: OdometryParams, T_
     insert_frame_incremental); the expensive structural merge with LRU
     eviction runs only when the append would overflow map capacity.
     T_pred_delta optionally overrides the constant-velocity prediction
-    (IMU / wheel-odometry prior)."""
+    (IMU / wheel-odometry prior).
+
+    `clusters` (optional SourceClusters, SENSOR frame, built once per scan
+    in preprocessing — registration/cluster.cluster_source at the map leaf)
+    switches the WHOLE hot path to clusters: registration runs the weighted
+    unary LM over ~5k cluster records instead of 25k points
+    (factors/vgicp.VGICPClustersFactor), and the map insert takes the
+    cluster-moment path (insert_clusters_incremental — the per-point insert
+    is bound by the 25k-key sort, the cluster path sorts ~5.6k keys;
+    measured 3.9 -> 2.4 ms on v5e)."""
     lm = params.lm or LMParams(max_iterations=params.max_iterations, max_inner_iterations=5)
     delta_pred = state.T_delta if T_pred_delta is None else T_pred_delta
     T_pred = state.T_world @ delta_pred
 
-    factor = VGICPFactor(
-        voxelmap=state.vmap,
-        source=frame,
-        fixed_target_pose=jnp.eye(4, dtype=jnp.float32),
-        target_key=-1,
-        source_key=0,
-        min_voxel_points=params.min_voxel_points,
-    )
+    if clusters is not None:
+        from gtsam_points_tpu.factors.vgicp import VGICPClustersFactor
+
+        factor = VGICPClustersFactor(
+            voxelmap=state.vmap,
+            clusters=clusters,
+            fixed_target_pose=jnp.eye(4, dtype=jnp.float32),
+            target_key=-1,
+            source_key=0,
+            min_voxel_points=params.min_voxel_points,
+        )
+    else:
+        factor = VGICPFactor(
+            voxelmap=state.vmap,
+            source=frame,
+            fixed_target_pose=jnp.eye(4, dtype=jnp.float32),
+            target_key=-1,
+            source_key=0,
+            min_voxel_points=params.min_voxel_points,
+        )
     graph = FactorGraph([factor], num_poses=1)
     res = optimize_lm(graph, T_pred[None], lm)
     T_new = res.poses[0]
@@ -160,9 +187,16 @@ def odometry_step(state: OdometryState, frame: Frame, params: OdometryParams, T_
     world_frame = transform_frame(T_new, frame)
 
     def do_insert(vm):
-        vm2, overflow = insert_frame_incremental(
-            vm, world_frame, params.scan_cells_capacity
-        )
+        if clusters is not None:
+            from gtsam_points_tpu.registration.cluster import (
+                insert_clusters_incremental,
+            )
+
+            vm2, overflow = insert_clusters_incremental(vm, clusters, T_new)
+        else:
+            vm2, overflow = insert_frame_incremental(
+                vm, world_frame, params.scan_cells_capacity
+            )
         return (
             jax.lax.cond(overflow, lambda: insert_frame(vm, world_frame), lambda: vm2),
             overflow,
@@ -204,8 +238,8 @@ def make_odometry_stepper(params: OdometryParams, donate: bool = True):
         kwargs["donate_argnums"] = (0,)
     stepped = jax.jit(odometry_step, **kwargs)
 
-    def step(state: OdometryState, frame: Frame, T_pred_delta=None):
-        return stepped(state, frame, params, T_pred_delta)
+    def step(state: OdometryState, frame: Frame, T_pred_delta=None, clusters=None):
+        return stepped(state, frame, params, T_pred_delta, clusters)
 
     return step
 

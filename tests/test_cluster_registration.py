@@ -135,3 +135,40 @@ def test_register_clusters_pyramid_converges_synthetic():
     rot_e, trans_e = jax.vmap(lambda T: se3.pose_error(T, T_rel))(Ts)
     assert float(jnp.max(rot_e)) < ROT_TOL, float(jnp.max(rot_e))
     assert float(jnp.max(trans_e)) < TRANS_TOL, float(jnp.max(trans_e))
+
+
+def test_vgicp_clusters_factor_lm_converges_kitti(data_root):
+    """Single-stream LM with the cluster-source VGICP factor (the latency
+    path) lands within the reference bounds on the kitti_07 pair, matching
+    the point-factor protocol of bench_suite config 1."""
+    import os
+
+    from gtsam_points_tpu.factors import make_vgicp_clusters_factor
+    from gtsam_points_tpu.ops.features import estimate_normals_covs
+    from gtsam_points_tpu.optim import FactorGraph, optimize_lm
+    from gtsam_points_tpu.optim.lm import LMParams
+    from gtsam_points_tpu.registration import cluster_source
+    from gtsam_points_tpu.utils import io
+
+    cap = 25088
+    pts0 = io.read_points(os.path.join(data_root, "kitti_07_dump/000000/points.bin"))
+    pts1 = io.read_points(os.path.join(data_root, "kitti_07_dump/000001/points.bin"))
+    g = io.load_graph(os.path.join(data_root, "kitti_07_dump/graph.txt"))
+    T_rel = se3.se3_inverse(se3.pose_from_xyzq(jnp.asarray(g[0]))) @ se3.pose_from_xyzq(
+        jnp.asarray(g[1])
+    )
+    prep = jax.jit(lambda f: estimate_normals_covs(f, k=10, grid_leaf=1.0))
+    target = prep(make_frame(pts0, capacity=cap))
+    source = prep(make_frame(pts1, capacity=cap))
+    clusters = jax.jit(lambda s: cluster_source(s, 1.0, 5632))(source)
+
+    graph = FactorGraph(num_poses=1)
+    graph.add(make_vgicp_clusters_factor(-1, 0, build_voxelmap(target, 1.0),
+                                         clusters, min_voxel_points=4))
+    T0 = (T_rel @ se3.se3_exp(jnp.asarray([0.02, -0.01, 0.03, 0.06, -0.08, 0.05])))[None]
+    res = jax.jit(
+        lambda p: optimize_lm(graph, p, LMParams(max_iterations=10, max_inner_iterations=5))
+    )(T0)
+    rot_e, trans_e = se3.pose_error(res.poses[0], T_rel)
+    assert float(rot_e) < ROT_TOL, float(rot_e)
+    assert float(trans_e) < TRANS_TOL, float(trans_e)

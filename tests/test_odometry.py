@@ -101,3 +101,53 @@ def test_donated_stepper_matches_undonated(data_root):
 
     for a, b in zip(poses_ref, poses_don):
         np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+def test_cluster_insert_odometry_matches_point_insert_trajectory(data_root):
+    """Round 5: the cluster-moment insert path (clusters= kwarg) must produce
+    the same trajectory as the per-point insert within registration noise —
+    the map it builds differs only by which voxel a border-straddling
+    cluster's mass lands in."""
+    from gtsam_points_tpu.ops.features import estimate_normals_covs
+    from gtsam_points_tpu.registration import cluster_source
+
+    prep = jax.jit(lambda f: estimate_normals_covs(
+        voxelgrid_sampling(f, 0.5, capacity=8192), k=10, grid_leaf=1.0))
+    target = prep(make_frame(io.read_points(
+        os.path.join(data_root, "kitti_07_dump/000000/points.bin")), capacity=25088))
+    source = prep(make_frame(io.read_points(
+        os.path.join(data_root, "kitti_07_dump/000001/points.bin")), capacity=25088))
+    params = OdometryParams(
+        voxel_resolution=1.0, map_capacity=65536, min_voxel_points=4.0,
+        max_iterations=8, keyframe_trans=1e-9, keyframe_rot=1e-9,
+    )
+    g = io.load_graph(os.path.join(data_root, "kitti_07_dump/graph.txt"))
+    T_rel = se3.se3_inverse(se3.pose_from_xyzq(jnp.asarray(g[0]))) @ se3.pose_from_xyzq(
+        jnp.asarray(g[1])
+    )
+    noise = se3.se3_exp(jnp.asarray([0.01, -0.01, 0.02, 0.05, -0.04, 0.03]))
+    clusters = jax.jit(lambda s: cluster_source(s, 1.0, 4096))(source)
+
+    st_pt = init_odometry(target, params)
+    st_cl = init_odometry(target, params)
+    for step in range(3):
+        # proper motion prediction (the odometry contract): first step moves
+        # to the true relative pose + noise; later steps re-register the
+        # same frame, so the prediction is the residual noise only
+        pred = (T_rel @ noise) if step == 0 else noise
+        st_pt, T_pt, _ = odometry_step(st_pt, source, params, pred)
+        st_cl, T_cl, diag = odometry_step(st_cl, source, params, pred, clusters)
+        assert not bool(diag["full_merge"])  # cluster insert did not overflow
+        for T in (T_pt, T_cl):  # both paths at the true pose
+            rot_g, trans_g = se3.pose_error(jnp.asarray(T), T_rel)
+            assert float(rot_g) < 0.015 and float(trans_g) < 0.15, (
+                step, float(rot_g), float(trans_g))
+        rot_e, trans_e = se3.pose_error(jnp.asarray(T_pt), jnp.asarray(T_cl))
+        assert float(rot_e) < 0.01 and float(trans_e) < 0.05, (
+            float(rot_e), float(trans_e))
+    # both maps carry the same total mass (mask-equal insert volume)
+    np.testing.assert_allclose(
+        float(jnp.sum(st_cl.vmap.moments[:, 0])),
+        float(jnp.sum(st_pt.vmap.moments[:, 0])),
+        rtol=1e-5,
+    )
