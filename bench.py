@@ -216,7 +216,7 @@ def main():
         chain = make_reg_chain(reg_fn)
         runs, raws = [], []
         for _ in range(repeats):
-            m, r = chain_marginal(chain, 4, 12, trials=3)
+            m, r = chain_marginal(chain, 8, 24, trials=3)
             runs.append(m)
             raws.append(r)
         runs.sort()
