@@ -127,43 +127,52 @@ def _optimize_lm(graph: FactorGraph, poses: jax.Array, params: LMParams) -> LMRe
             corr = graph.correspondences(poses)
         A, b, err_lin, frozen_error = graph.linearize_frozen(poses, corr)
 
-        def inner_cond(s):
-            _, lam, _, _, accepted, tries, _ = s
-            return (
-                jnp.logical_not(accepted)
-                & (tries < p.max_inner_iterations)
-                & (lam <= p.lambda_upper_bound)
-            )
-
-        def inner_body(s):
-            poses_c, lam, err_c, new_err, accepted, tries, step_norm = s
-            delta, ok = _solve_damped(A, b, lam, p.diagonal_damping)
-            pred_decrease = 2.0 * jnp.dot(b, delta) - delta @ (A @ delta)
-            cand = retract(poses_c, delta)
-            cand_err = frozen_error(cand)
-            rho = (err_lin - cand_err) / jnp.maximum(pred_decrease, 1e-10)
-            accept = ok & (pred_decrease > 0) & (rho > p.min_fidelity) & jnp.isfinite(cand_err)
-            new_poses = jax.tree_util.tree_map(lambda a, c: jnp.where(accept, c, a), poses_c, cand)
-            new_lam = jnp.where(
-                accept,
-                jnp.maximum(lam / p.lambda_factor, p.lambda_lower_bound),
-                lam * p.lambda_factor,
-            )
-            return (
-                new_poses,
-                new_lam,
-                err_c,
-                jnp.where(accept, cand_err, new_err),
-                accepted | accept,
-                tries + 1,
-                jnp.where(accept, jnp.linalg.norm(delta), step_norm),
-            )
-
-        poses_n, lam_n, _, err_n, accepted, tries, step_norm = jax.lax.while_loop(
-            inner_cond,
-            inner_body,
-            (poses, lam, err_lin, err_lin, False, jnp.int32(0), jnp.float32(0.0)),
+        # BATCHED LAMBDA LADDER (round 5): the sequential inner loop tries
+        # lam, lam*f, lam*f^2, ... until the first acceptable candidate — a
+        # data-dependent while_loop whose per-try solve + frozen-error eval
+        # dominated the single-stream LM (measured 11.7 -> 2.5 ms when the
+        # ladder collapsed to one try). Since no accept happens before the
+        # first accept, the ladder's lambdas are KNOWN up front: solve all K
+        # damped systems (unrolled small-Cholesky batches on the VPU),
+        # retract all K candidates, evaluate all K frozen errors in ONE
+        # fused pass, and take the FIRST acceptable — bitwise the same
+        # accept/lambda/tries semantics as the sequential loop (candidates
+        # beyond lambda_upper_bound are masked exactly like the loop's exit
+        # condition). Reference analogue: the lambda-trial loop of
+        # levenberg_marquardt_ext.cpp:181-330, restructured the TPU way.
+        K = p.max_inner_iterations
+        lams = lam * p.lambda_factor ** jnp.arange(K, dtype=jnp.float32)
+        in_bound = lams <= p.lambda_upper_bound
+        deltas, oks = jax.vmap(
+            lambda l: _solve_damped(A, b, l, p.diagonal_damping)
+        )(lams)  # [K, 6P], [K]
+        pred_decreases = 2.0 * (deltas @ b) - jnp.einsum(
+            "ki,ij,kj->k", deltas, A, deltas
         )
+        cands = jax.vmap(lambda d: retract(poses, d))(deltas)
+        cand_errs = jax.vmap(frozen_error)(cands)
+        rhos = (err_lin - cand_errs) / jnp.maximum(pred_decreases, 1e-10)
+        accept_k = (
+            oks
+            & in_bound
+            & (pred_decreases > 0)
+            & (rhos > p.min_fidelity)
+            & jnp.isfinite(cand_errs)
+        )
+        accepted = jnp.any(accept_k)
+        first = jnp.argmax(accept_k)  # index of the first True (0 if none)
+        num_tried = jnp.sum(in_bound.astype(jnp.int32))
+        poses_n = jax.tree_util.tree_map(
+            lambda a, c: jnp.where(accepted, c[first], a), poses, cands
+        )
+        err_n = jnp.where(accepted, cand_errs[first], err_lin)
+        lam_n = jnp.where(
+            accepted,
+            jnp.maximum(lams[first] / p.lambda_factor, p.lambda_lower_bound),
+            lam * jnp.float32(p.lambda_factor) ** num_tried.astype(jnp.float32),
+        )
+        tries = jnp.where(accepted, first + 1, num_tried)
+        step_norm = jnp.where(accepted, jnp.linalg.norm(deltas[first]), 0.0)
         err_new = jnp.where(accepted, err_n, err_lin)
         # convergence: small accepted step, or fresh-error decrease below tols
         decrease = err0 - err_lin  # fresh errors across outer iterations
