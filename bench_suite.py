@@ -159,6 +159,36 @@ def main():
         "trans_err_vs_gt_m": round(float(trans_c), 4),
     }), flush=True)
 
+    # reference-parity correspondence caching (the reference's
+    # correspondence_update_tolerance, impl/integrated_icp_factor_impl.hpp:
+    # 128-143): near-converged LM iterations reuse the frozen probe, cutting
+    # the per-iteration probe from the latency path
+    reg_ct = jax.jit(lambda p: optimize_lm(
+        graph_c, p,
+        LMParams(max_iterations=10, max_inner_iterations=5,
+                 correspondence_update_tolerance_rot=0.01,
+                 correspondence_update_tolerance_trans=0.05)))
+    out_ct = reg_ct(T0_reg)
+    jax.block_until_ready(out_ct.poses)
+    rot_ct, trans_ct = se3.pose_error(out_ct.poses[0], T_rel)
+
+    def chain_reg_ct(K):
+        p = T0_reg
+        for _ in range(K):
+            _salt[0] += 1
+            p = T0_reg.at[:, :3, 3].add(_salt[0] * 1e-4 + 1e-6 * reg_ct(p).poses[:, :3, 3])
+        float(jnp.sum(reg_ct(p).poses))
+
+    ms_ct = marginal_ms(chain_reg_ct, K1=10, K2=40, reps=5)
+    print(json.dumps({
+        "metric": "vgicp_registration_clusters_corrtol_ms_per_scan",
+        "value": round(ms_ct, 4), "unit": "ms",
+        "vs_baseline": round(ref_reg_ms / ms_ct, 2),
+        "trans_err_vs_gt_m": round(float(trans_ct), 4),
+        "note": "correspondence_update_tolerance 0.01 rad / 0.05 m "
+        "(reference caching semantics)",
+    }), flush=True)
+
     # --- covariance-path ACCURACY PARITY (VERDICT r4 item 6): the same
     # registration with moments-path covariances must land at the same
     # optimum as the kNN covariances; this row is what justifies the fast
@@ -224,7 +254,7 @@ def main():
             st, T, _ = stepper(st, source, noise, clusters_o)
         float(jnp.sum(st.vmap.moments)) + float(jnp.sum(T))
 
-    emit("odometry_step_ms_per_scan", marginal_ms(chain_odo, reps=3), "ms", baseline=30.0)
+    emit("odometry_step_ms_per_scan", marginal_ms(chain_odo, K1=10, K2=50, reps=3), "ms", baseline=30.0)
 
     # phase breakdown (VERDICT r3 item 8), same salted-fetch protocol
     lmp = LMParams(max_iterations=10, max_inner_iterations=5)
@@ -271,7 +301,7 @@ def main():
             wf_s = wf_s.replace(points=wf_s.points + 1e-7)
         float(jnp.sum(vm.moments))
 
-    emit("odometry_insert_ms_per_scan", marginal_ms(chain_ins, reps=3), "ms")
+    emit("odometry_insert_ms_per_scan", marginal_ms(chain_ins, K1=10, K2=50, reps=5), "ms")
 
     # cluster-moment insert (the production path when preprocessing supplies
     # sensor-frame clusters — what odometry_step_ms_per_scan above uses)
@@ -287,7 +317,7 @@ def main():
             Tw = Tw.at[0, 3].add(1e-7 * (1.0 + 1e-12 * vm.moments[0, 0]))
         float(jnp.sum(vm.moments))
 
-    emit("odometry_insert_clusters_ms_per_scan", marginal_ms(chain_ins_cl, reps=3), "ms")
+    emit("odometry_insert_clusters_ms_per_scan", marginal_ms(chain_ins_cl, K1=10, K2=50, reps=5), "ms")
 
     # --- config 4: FPFH + RANSAC/GNC global registration (no initial guess) ---
     from gtsam_points_tpu.registration import (
@@ -570,16 +600,19 @@ def main():
         T0s = jax.vmap(se3.se3_exp)(jnp.asarray(rngb.uniform(-0.1, 0.1, (B, 6)).astype(np.float32)))
         out = fn(T0s)
         jax.block_until_ready(out)
-        # salted data-dependent chain (REPLAY HAZARD, utils/benchtime.py —
-        # this loop previously re-dispatched bitwise-identical inputs)
-        t0 = time.perf_counter()
-        reps_b = 5
-        cur = out
-        for r in range(reps_b):
-            _salt[0] += 1
-            cur = fn(T0s.at[:, :3, 3].add(_salt[0] * 1e-4 + 1e-9 * cur[:, :3, 3]))
-        jax.block_until_ready(cur)
-        s = (time.perf_counter() - t0) / reps_b
+
+        # salted data-dependent chains + marginal differencing (REPLAY
+        # HAZARD, utils/benchtime.py — this row previously re-dispatched
+        # bitwise-identical inputs, and a raw salted loop pays a large
+        # per-distinct-dispatch tunnel cost that the marginal removes)
+        def chain_b(K, fn=fn, T0s=T0s):
+            cur = T0s
+            for _ in range(K):
+                _salt[0] += 1
+                cur = fn(T0s.at[:, :3, 3].add(_salt[0] * 1e-4 + 1e-9 * cur[:, :3, 3]))
+            float(jnp.sum(cur))
+
+        s = chain_marginal(chain_b, 4, 12, trials=3)[0]
         print(
             json.dumps(
                 {

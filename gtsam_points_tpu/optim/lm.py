@@ -134,11 +134,14 @@ def _optimize_lm(graph: FactorGraph, poses: jax.Array, params: LMParams) -> LMRe
         # ladder collapsed to one try). Since no accept happens before the
         # first accept, the ladder's lambdas are KNOWN up front: solve all K
         # damped systems (unrolled small-Cholesky batches on the VPU),
-        # retract all K candidates, evaluate all K frozen errors in ONE
-        # fused pass, and take the FIRST acceptable — bitwise the same
-        # accept/lambda/tries semantics as the sequential loop (candidates
-        # beyond lambda_upper_bound are masked exactly like the loop's exit
-        # condition). Reference analogue: the lambda-trial loop of
+        # retract all K candidates, and take the FIRST acceptable — bitwise
+        # the same accept/lambda/tries semantics as the sequential loop
+        # (candidates beyond lambda_upper_bound are masked exactly like the
+        # loop's exit condition). Error evaluation is TWO-STAGE: candidate 0
+        # alone first (the common case accepts it — one eval, like the
+        # sequential loop's fast path), and only on rejection the remaining
+        # K-1 candidates in one fused batched pass (lax.cond skips it
+        # otherwise). Reference analogue: the lambda-trial loop of
         # levenberg_marquardt_ext.cpp:181-330, restructured the TPU way.
         K = p.max_inner_iterations
         lams = lam * p.lambda_factor ** jnp.arange(K, dtype=jnp.float32)
@@ -150,15 +153,36 @@ def _optimize_lm(graph: FactorGraph, poses: jax.Array, params: LMParams) -> LMRe
             "ki,ij,kj->k", deltas, A, deltas
         )
         cands = jax.vmap(lambda d: retract(poses, d))(deltas)
-        cand_errs = jax.vmap(frozen_error)(cands)
-        rhos = (err_lin - cand_errs) / jnp.maximum(pred_decreases, 1e-10)
-        accept_k = (
-            oks
-            & in_bound
-            & (pred_decreases > 0)
-            & (rhos > p.min_fidelity)
-            & jnp.isfinite(cand_errs)
-        )
+
+        def gate(errs_k, idx):
+            rho = (err_lin - errs_k) / jnp.maximum(pred_decreases[idx], 1e-10)
+            return (
+                oks[idx]
+                & in_bound[idx]
+                & (pred_decreases[idx] > 0)
+                & (rho > p.min_fidelity)
+                & jnp.isfinite(errs_k)
+            )
+
+        err0_c = frozen_error(jax.tree_util.tree_map(lambda c: c[0], cands))
+        accept0 = gate(err0_c, 0)
+
+        def eval_rest(_):
+            errs = jax.vmap(frozen_error)(
+                jax.tree_util.tree_map(lambda c: c[1:], cands)
+            )
+            return jnp.concatenate([err0_c[None], errs])
+
+        def skip_rest(_):
+            return jnp.concatenate(
+                [err0_c[None], jnp.full((K - 1,), jnp.inf, jnp.float32)]
+            )
+
+        if K > 1:
+            cand_errs = jax.lax.cond(accept0, skip_rest, eval_rest, None)
+        else:
+            cand_errs = err0_c[None]
+        accept_k = gate(cand_errs, jnp.arange(K))
         accepted = jnp.any(accept_k)
         first = jnp.argmax(accept_k)  # index of the first True (0 if none)
         num_tried = jnp.sum(in_bound.astype(jnp.int32))
