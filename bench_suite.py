@@ -35,7 +35,14 @@ def main():
             rec["vs_baseline"] = round(baseline / value, 2)
         print(json.dumps(rec), flush=True)
 
-    from gtsam_points_tpu.utils.benchtime import chain_marginal
+    from gtsam_points_tpu.utils.benchtime import chain_marginal, tunnel_probe_ms
+
+    # tunnel-health probe bracketing the whole suite: the tunneled TPU in
+    # this image INTERMITTENTLY degrades (per-dispatch cost can grow several
+    # ms for minutes at a time); these rows let a reader tell a degraded-
+    # tunnel artifact from a real regression
+    print(json.dumps({"metric": "tunnel_dispatch_ms_at_start",
+                      "value": round(tunnel_probe_ms(), 4), "unit": "ms"}), flush=True)
 
     def marginal_ms(run_chain, K1=5, K2=15, trials=3, reps=1):
         """Steady-state marginal per-execution ms (shared protocol,
@@ -309,12 +316,15 @@ def main():
     T_w0 = steady.T_world
 
     def chain_ins_cl(K):
+        # the chain's data dependency rides the donated map itself (vm ->
+        # insj_cl -> vm); the pose salt must NOT read back from vm — an
+        # extra consumer of the donated buffers forces XLA to copy the
+        # ~26 MB map every insert instead of updating in place
         _salt[0] += 1
         vm = jax.tree_util.tree_map(lambda x: x + 0, steady.vmap)
-        Tw = T_w0.at[0, 3].add(_salt[0] * 1e-6)
-        for _ in range(K):
+        for k in range(K):
+            Tw = T_w0.at[0, 3].add(_salt[0] * 1e-6 + k * 1e-7)
             vm, _ov = insj_cl(vm, clusters_o, Tw)
-            Tw = Tw.at[0, 3].add(1e-7 * (1.0 + 1e-12 * vm.moments[0, 0]))
         float(jnp.sum(vm.moments))
 
     emit("odometry_insert_clusters_ms_per_scan", marginal_ms(chain_ins_cl, K1=10, K2=50, reps=5), "ms")
@@ -686,6 +696,8 @@ def main():
         ),
         flush=True,
     )
+    print(json.dumps({"metric": "tunnel_dispatch_ms_at_end",
+                      "value": round(tunnel_probe_ms(), 4), "unit": "ms"}), flush=True)
 
 
 if __name__ == "__main__":
